@@ -1,0 +1,185 @@
+"""Deterministic hash primitives, computable bit-identically in three engines.
+
+The whole pipeline is built on two polynomial hashes over the Mersenne prime
+p = 2^31 - 1 and one universal hash family ((a*h + b) mod p):
+
+* ``poly31``   — char-level rolling hash of a token:   h = (h*31 + codepoint) mod p
+* ``combine``  — order-sensitive combiner of hash seqs: h = (h*1000003 + v) mod p
+  (shingle hash = combine of k token hashes; band hash = combine of r MinHash rows)
+* ``uhash_i``  — (a_i * h + b_i) mod p with seeded constants from
+  ``DedupConfig.minhash_params`` / ``simhash_params``.
+
+Everything stays strictly below 2^31, so intermediate products stay below
+2^62 and fit signed 64-bit integers in Spark SQL (BIGINT), numpy (int64) and
+DuckDB (BIGINT) with no overflow and no unsigned types.  This gives the same
+buckets/signatures from the JVM codegen path, the Arrow/pandas path and the
+DuckDB oracle.
+
+Reference analog: the Go code hashes by walking plane trees
+(/root/reference/lsh/hasher.go:38-57); its bucket key is ``{tree}_{hash}``
+(/root/reference/lsh/helpers.go:278-280).  We keep (band_id, band_hash) as two
+integer columns instead of a concatenated string — joining on two ints beats
+string concat at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark.config import MERSENNE31, POLY_CHAR_MULT, POLY_COMBINE_MULT
+
+P = MERSENNE31
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders (JVM higher-order functions — whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def poly31_char_hash_expr(token_col: str) -> str:
+    """SQL fragment: char-level poly31 hash of a single token column/lambda var."""
+    return (
+        f"aggregate(split({token_col}, ''), cast(0 as bigint), "
+        f"(h, c) -> (h * {POLY_CHAR_MULT} + ascii(c)) % {P})"
+    )
+
+
+def token_hashes(tokens_col: str) -> Column:
+    """array<string> tokens → array<bigint> poly31 hashes."""
+    return F.expr(f"transform({tokens_col}, t -> {poly31_char_hash_expr('t')})")
+
+
+def combine_hash_expr(arr_sql: str) -> str:
+    """SQL fragment: order-sensitive combine of an array<bigint>."""
+    return (
+        f"aggregate({arr_sql}, cast(0 as bigint), "
+        f"(h, v) -> (h * {POLY_COMBINE_MULT} + v) % {P})"
+    )
+
+
+def windowed_combine(hashes_col: str, k: int) -> Column:
+    """array<bigint> → array<bigint> of combined k-grams (sliding window).
+
+    Empty result if fewer than k elements (guards Spark's descending
+    ``sequence(1, 0)`` behavior).
+    """
+    inner = combine_hash_expr(f"slice({hashes_col}, i, {k})")
+    return F.expr(
+        f"case when size({hashes_col}) >= {k} then "
+        f"transform(sequence(1, size({hashes_col}) - {k} + 1), i -> {inner}) "
+        f"else array() end"
+    ).cast("array<bigint>")
+
+
+def banded_hashes(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
+    """MinHash signature array<bigint>[num_perm] → array<bigint>[num_bands]:
+    band j = combine(sig[j*r : j*r+r]).  (reference bucket analog: SetHash per
+    tree, /root/reference/store/kv/store.go:64-73)."""
+    inner = combine_hash_expr(f"slice({sig_col}, j * {rows_per_band} + 1, {rows_per_band})")
+    return F.expr(f"transform(sequence(0, {num_bands - 1}), j -> {inner})")
+
+
+def minhash_signature(shingles_col: str, a: tuple[int, ...], b: tuple[int, ...]) -> Column:
+    """array<bigint> distinct shingle hashes → array<bigint>[num_perm] MinHash.
+
+    sig_i = min over shingles of (a_i*h + b_i) mod p.  Uses an indexed
+    ``transform`` over the literal parameter arrays — all JVM-side.
+    """
+    a_lit = f"array({','.join(str(x) for x in a)})"
+    b_lit = f"array({','.join(str(x) for x in b)})"
+    return F.expr(
+        f"transform({a_lit}, (a, i) -> "
+        f"array_min(transform({shingles_col}, h -> (a * h + element_at({b_lit}, i + 1)) % {P})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy backends (used inside Arrow-batched pandas UDFs; no per-row Python)
+# ---------------------------------------------------------------------------
+
+def poly31_np(strings: pd.Series) -> np.ndarray:
+    """Vectorized char-level poly31 over a Series of ASCII-ish strings.
+
+    The loop is over character *positions* (bounded by max token length), not
+    rows — every step is a full-width numpy op.
+    """
+    s = strings.fillna("")
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    joined = "".join(s.tolist()).encode("utf-8", errors="surrogatepass")
+    codes = np.frombuffer(joined, dtype=np.uint8).astype(np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    h = np.zeros(n, dtype=np.int64)
+    max_len = int(lens.max()) if n else 0
+    for pos in range(max_len):
+        active = lens > pos
+        h[active] = (h[active] * POLY_CHAR_MULT + codes[offsets[active] + pos]) % P
+    return h
+
+
+def combine_np(mat: np.ndarray) -> np.ndarray:
+    """Order-sensitive combine along axis 1 of an (n, k) int64 matrix."""
+    h = np.zeros(mat.shape[0], dtype=np.int64)
+    for j in range(mat.shape[1]):
+        h = (h * POLY_COMBINE_MULT + mat[:, j]) % P
+    return h
+
+
+def windowed_combine_np(hashes: np.ndarray, k: int) -> np.ndarray:
+    """1-D int64 hash array → combined k-gram windows (len = n-k+1, or 0)."""
+    n = hashes.shape[0]
+    if n < k:
+        return np.zeros(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, k)
+    return combine_np(np.ascontiguousarray(win))
+
+
+def minhash_np(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distinct shingle hashes (m,) × params (P,) → signature (P,).
+
+    (P, m) broadcast then min over m — one vectorized expression."""
+    # a[:, None]*sh: both < 2^31 → product < 2^62, fits int64.
+    return ((a[:, None] * shingles[None, :] + b[:, None]) % P).min(axis=1)
+
+
+def banded_np(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """Signature (num_perm,) → band hashes (num_bands,)."""
+    return combine_np(sig.reshape(num_bands, rows_per_band))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (the oracle mirrors, 1:1 with the Spark exprs)
+# ---------------------------------------------------------------------------
+
+def duck_poly31(token_sql: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split_regex({token_sql}, ''), c -> unicode(c)::BIGINT)), "
+        f"(h, c) -> (h * {POLY_CHAR_MULT} + c) % {P})"
+    )
+
+
+def duck_combine(arr_sql: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {arr_sql}), "
+        f"(h, v) -> (h * {POLY_COMBINE_MULT} + v) % {P})"
+    )
+
+
+def duck_windowed_combine(hashes_sql: str, k: int) -> str:
+    """DuckDB: sliding k-window combine over a BIGINT list (empty if short).
+
+    NOTE: uses a correlated alias — embed via ``{hashes_sql}`` being a plain
+    column reference or a list expression.
+    """
+    inner = duck_combine(f"list_slice({hashes_sql}, i + 1, i + {k})")
+    return (
+        f"case when len({hashes_sql}) >= {k} then "
+        f"list_transform(range(len({hashes_sql}) - {k} + 1), i -> {inner}) "
+        f"else [] end"
+    )

@@ -1,0 +1,152 @@
+"""SimHash bit signatures + Hamming distance, over k-shingle feature sets.
+
+The vectorized re-realization of the reference's hyperplane sign-bit hashing
+(/root/reference/lsh/hasher.go:25-57): the reference sets bit ``depth`` of a
+tree path iff the vector is on the negative side of a plane; classic SimHash
+(Charikar '02) is the fixed-depth special case where every bit has an
+independent "plane".  Here the "planes" over the implicit one-hot shingle
+space are pseudo-random sign vectors drawn from the universal hash family
+``sign_j(h) = +1 iff (a_j * h + b_j) mod p > (p-1)/2`` — reproducible in
+Spark SQL, numpy and DuckDB alike.
+
+Features are the document's DISTINCT k-shingle hashes (binary weights), i.e.
+the same feature set MinHash consumes — one shingling pass feeds both
+signature families.  The signature is stored as ``array<bigint>`` of 32-bit
+words so XOR/bit_count stay in signed-64 territory in every engine.
+
+Hamming verify mirrors the reference's exact-distance candidate check
+(/root/reference/lsh/lsh.go:174-190) with Hamming in place of L2/angular.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lsh_search_go_spark.config import MERSENNE31, DedupConfig
+from lsh_search_go_spark.functions import hashing as H
+
+P = MERSENNE31
+HALF = (P - 1) // 2  # 1073741823; sign is + iff uhash > HALF
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL backend
+# ---------------------------------------------------------------------------
+
+def simhash_words_sql(shingles_col: str, cfg: DedupConfig) -> Column:
+    """array<bigint> distinct shingle hashes → array<bigint>[nwords] SimHash."""
+    a, b = cfg.simhash_params
+    nwords = cfg.simhash_bits // 32
+    a_lit = f"array({','.join(map(str, a))})"
+    b_lit = f"array({','.join(map(str, b))})"
+    bit_idx = "(w * 32 + jj)"
+    signsum = (
+        f"aggregate({shingles_col}, cast(0 as bigint), (s, h) -> s + "
+        f"(case when (element_at({a_lit}, {bit_idx} + 1) * h "
+        f"+ element_at({b_lit}, {bit_idx} + 1)) % {P} > {HALF} then 1 else -1 end))"
+    )
+    word = (
+        f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, jj) -> acc + "
+        f"(case when {signsum} > 0 then shiftleft(cast(1 as bigint), jj) "
+        f"else cast(0 as bigint) end))"
+    )
+    return F.expr(f"transform(sequence(0, {nwords - 1}), w -> {word})")
+
+
+def hamming_expr(col1: str, col2: str) -> Column:
+    """Hamming distance between two word-array signatures (JVM-side)."""
+    return F.expr(
+        f"aggregate(zip_with({col1}, {col2}, (x, y) -> bit_count(x ^ y)), 0, (s, v) -> s + v)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy backend (used inside Arrow-batched pandas UDFs)
+# ---------------------------------------------------------------------------
+
+def simhash_np(shingles: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(m,) distinct shingle hashes → (nwords,) SimHash words.  Vectorized:
+    (nbits × m) sign matrix in one broadcast, bit packing by matmul."""
+    a, b = cfg.simhash_params
+    an = np.asarray(a, dtype=np.int64)[:, None]
+    bn = np.asarray(b, dtype=np.int64)[:, None]
+    nwords = cfg.simhash_bits // 32
+    if shingles.size == 0:
+        return np.zeros(nwords, dtype=np.int64)
+    signs = np.where((an * shingles[None, :] + bn) % P > HALF, 1, -1)
+    sums = signs.sum(axis=1)  # (nbits,)
+    bits = (sums > 0).astype(np.int64)
+    weights = 1 << np.arange(32, dtype=np.int64)
+    return bits.reshape(nwords, 32) @ weights
+
+
+def simhash_batch(shingle_lists: pd.Series, cfg: DedupConfig) -> pd.Series:
+    """Arrow batch: Series[list[int]] → Series[list[int]] of SimHash words.
+
+    Flattens the batch, computes one (nbits × total) sign matrix, segment-sums
+    with np.add.reduceat — no per-document Python in the hot loop."""
+    a, b = cfg.simhash_params
+    an = np.asarray(a, dtype=np.int64)[:, None]
+    bn = np.asarray(b, dtype=np.int64)[:, None]
+    nwords = cfg.simhash_bits // 32
+    ndocs = len(shingle_lists)
+    counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.Series([[0] * nwords] * ndocs)
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shingle_lists if len(x)])
+    signs = np.where((an * flat[None, :] + bn) % P > HALF, 1, -1).astype(np.int64)
+    starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    safe_starts = np.minimum(starts, total - 1)
+    sums = np.add.reduceat(signs, safe_starts, axis=1)  # (nbits, ndocs)
+    sums[:, counts == 0] = 0  # reduceat returns a neighbor's value for empty segments
+    bits = (sums > 0).astype(np.int64)
+    weights = 1 << np.arange(32, dtype=np.int64)
+    words = np.einsum("wbd,b->dw", bits.reshape(nwords, 32, ndocs), weights)
+    return pd.Series(words.tolist())
+
+
+def with_simhash(df: DataFrame, cfg: DedupConfig, impl: str = "sql",
+                 shingles_col: str = "shingles", out_col: str = "simhash") -> DataFrame:
+    if impl == "sql":
+        return df.withColumn(out_col, simhash_words_sql(shingles_col, cfg))
+    if impl == "pandas":
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def udf(sh: pd.Series) -> pd.Series:
+            return simhash_batch(sh, cfg)
+        return df.withColumn(out_col, udf(F.col(shingles_col)))
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror
+# ---------------------------------------------------------------------------
+
+def duck_simhash_words(shingles_sql: str, cfg: DedupConfig) -> str:
+    a, b = cfg.simhash_params
+    a_lit = f"[{','.join(map(str, a))}]"
+    b_lit = f"[{','.join(map(str, b))}]"
+    bit_idx = "(w * 32 + jj)"
+    signsum = (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform({shingles_sql}, h -> "
+        f"(case when ({a_lit}[{bit_idx} + 1] * h + {b_lit}[{bit_idx} + 1]) % {P} > {HALF} "
+        f"then 1 else -1 end)::BIGINT)), (s, v) -> s + v)"
+    )
+    word = (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(32), jj -> "
+        f"(case when {signsum} > 0 then (1::BIGINT << jj) else 0::BIGINT end))), "
+        f"(x, y) -> x + y)"
+    )
+    return f"list_transform(range({cfg.simhash_bits // 32}), w -> {word})"
+
+
+def duck_hamming(col1: str, col2: str, nwords: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range({nwords}), i -> "
+        f"bit_count(xor({col1}[i + 1], {col2}[i + 1]))::BIGINT)), (s, v) -> s + v)"
+    )

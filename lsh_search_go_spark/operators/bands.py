@@ -1,0 +1,67 @@
+"""Banded LSH bucketing and candidate-pair generation.
+
+Reference analog: ``SetHash`` appends doc ids to bucket ``{tree}_{hash}``
+(/root/reference/store/kv/store.go:64-73); ``Search`` pulls same-bucket ids as
+candidates (/root/reference/lsh/lsh.go:154-172) and dedups them via
+``closestSet`` (/root/reference/lsh/lsh.go:142,171).
+
+Spark realization:
+- buckets table via ``posexplode`` of the per-doc band-hash array — one
+  narrow (band_id int, band_hash bigint, doc_id) relation, shuffled once on
+  the bucket key;
+- candidate pairs via bucket self-join + ``dropDuplicates`` BEFORE the
+  expensive verify join (the reference's closestSet, done set-wise);
+- skew guard: buckets above ``max_bucket_size`` are dropped and *logged* —
+  a bucket of n docs yields n(n-1)/2 pairs, so one degenerate bucket (e.g.
+  the empty-file bucket at code-corpus scale) would dominate the whole job.
+  This is the deterministic analog of the reference's arrival-order-dependent
+  ``maxCandidates`` early exit (/root/reference/lsh/lsh.go:145,163-166),
+  which we deliberately do NOT replicate (non-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_bands(df: DataFrame, id_col: str = "doc_id",
+                  bands_col: str = "bands") -> DataFrame:
+    """(id, array<bigint> bands) → (band_id int, band_hash bigint, id)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(bands_col)).alias("band_id", "band_hash"),
+    )
+
+
+def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Buckets whose membership exceeds the skew cap — for logging/metrics."""
+    return (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """Distinct canonical candidate pairs (src_id < dst_id) from bucket
+    co-membership.  One shuffle on (band_id, band_hash) for the self-join,
+    one for the distinct — both AQE-coalesced."""
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        )
+        buckets = (
+            buckets.join(sizes, ["band_id", "band_hash"])
+            .filter(F.col("bucket_size") <= max_bucket_size)
+            .drop("bucket_size")
+        )
+    left = buckets.select("band_id", "band_hash", F.col(id_col).alias("src_id"))
+    right = buckets.select("band_id", "band_hash", F.col(id_col).alias("dst_id"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .dropDuplicates(["src_id", "dst_id"])
+    )

@@ -1,0 +1,105 @@
+"""Connected components over the dup-pair edge list.
+
+Large-star / small-star alternation (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — O(log n) rounds, no driver-side graph state,
+each round two shuffles.  ``localCheckpoint`` truncates lineage per round so
+the plan doesn't grow with iterations (the classic iterative-Spark trap).
+
+Cluster id = min node id of the component — the same canonical-representative
+convention the oracle uses, making cluster assignments set-comparable.
+
+The reference has no clustering stage (it answers per-query neighbor lists);
+this operator is the ``north_star`` addition that turns pairwise neighbor
+semantics (/root/reference/lsh/lsh.go:138-199) into corpus-level dedup
+clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    mins = (
+        sym.groupBy("u").agg(F.min("v").alias("mn"))
+        .withColumn("m", F.least("u", "mn"))
+        .select("u", "m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src_id"), F.col("m").alias("dst_id"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Edges directed large→small (src > dst); for each u: m = min(N<(u) ∪ {u});
+    emit (v, m) for v in N<(u) ∪ {u}, v != m."""
+    d = edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    attach_nbrs = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("src_id"), F.col("m").alias("dst_id"))
+    )
+    attach_self = mins.select(F.col("u").alias("src_id"), F.col("m").alias("dst_id"))
+    return (
+        attach_nbrs.union(attach_self)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src_id", "dst_id")).alias("h"),
+    ).collect()[0]
+    return (row["n"] or 0, row["h"] or 0)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(src_id, dst_id) → labels(doc_id, cluster_id), only for nodes that
+    appear in edges.  Callers union in singletons (see ``assign_clusters``)."""
+    if not edges.take(1):
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "doc_id string, cluster_id string").select(
+            F.col("doc_id").cast(dict(edges.dtypes)["src_id"]),
+            F.col("cluster_id").cast(dict(edges.dtypes)["src_id"]),
+        )
+    e = edges.select("src_id", "dst_id").distinct().localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        e = _large_star(_symmetric(e))
+        e = _small_star(e).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # at fixpoint every edge is (node, component_min)
+    labels = e.select(F.col("src_id").alias("doc_id"), F.col("dst_id").alias("cluster_id"))
+    roots = e.select(F.col("dst_id").alias("doc_id"),
+                     F.col("dst_id").alias("cluster_id")).distinct()
+    return labels.union(roots).distinct()
+
+
+def assign_clusters(all_docs: DataFrame, edges: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Full assignment (doc_id, cluster_id): component min for connected docs,
+    self for singletons."""
+    labels = connected_components(edges)
+    ids = all_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .select("doc_id", "cluster_id")
+    )
