@@ -66,6 +66,7 @@ class DedupConfig:
                                     #  10 gives margin while unrelated text sits ≈32)
     max_bucket_size: int = 2000     # skew guard: buckets larger than this are dropped+logged
     lowercase: bool = True
+    strip_comments: bool = False    # code normalization: drop '#...' line comments
     id_col: str = "doc_id"
     content_col: str = "content"
 

@@ -34,8 +34,13 @@ from lsh_search_go_spark.functions import hashing as H
 # Spark-SQL backend
 # ---------------------------------------------------------------------------
 
-def tokens_expr(content_col: str, lowercase: bool = True) -> str:
-    src = f"lower({content_col})" if lowercase else content_col
+def tokens_expr(content_col: str, lowercase: bool = True,
+                strip_comments: bool = False) -> str:
+    src = content_col
+    if strip_comments:
+        src = f"regexp_replace({src}, '#[^\\\\n]*', ' ')"
+    if lowercase:
+        src = f"lower({src})"
     return f"filter(split(trim({src}), '\\\\s+'), t -> t != '')"
 
 
@@ -44,7 +49,7 @@ def shingle_hashes_sql(content_col: str, cfg: DedupConfig) -> Column:
 
     Sorted so that downstream set ops and the oracle compare canonically.
     """
-    toks = tokens_expr(content_col, cfg.lowercase)
+    toks = tokens_expr(content_col, cfg.lowercase, cfg.strip_comments)
     inner = H.combine_hash_expr(f"slice(__th, i, {cfg.shingle_k})")
     expr = (
         f"case when size(__th) >= {cfg.shingle_k} then "
@@ -73,6 +78,8 @@ def _shingle_batch(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
     in one flat array, then slicing windows per document.
     """
     s = texts.fillna("")
+    if cfg.strip_comments:
+        s = s.str.replace(r"#[^\n]*", " ", regex=True)
     if cfg.lowercase:
         s = s.str.lower()
     stripped = s.str.strip()
@@ -117,15 +124,20 @@ def with_shingles(df: DataFrame, cfg: DedupConfig, impl: str = "sql",
 # DuckDB oracle mirror
 # ---------------------------------------------------------------------------
 
-def duck_tokens(content_sql: str, lowercase: bool = True) -> str:
-    src = f"lower({content_sql})" if lowercase else content_sql
+def duck_tokens(content_sql: str, lowercase: bool = True,
+                strip_comments: bool = False) -> str:
+    src = content_sql
+    if strip_comments:
+        src = f"regexp_replace({src}, '#[^\\n]*', ' ', 'g')"
+    if lowercase:
+        src = f"lower({src})"
     return (
         f"list_filter(string_split_regex(trim({src}), '\\s+'), t -> t != '')"
     )
 
 
 def duck_shingle_hashes(content_sql: str, cfg: DedupConfig) -> str:
-    toks = duck_tokens(content_sql, cfg.lowercase)
+    toks = duck_tokens(content_sql, cfg.lowercase, cfg.strip_comments)
     th = f"list_transform({toks}, t -> {H.duck_poly31('t')})"
     k = cfg.shingle_k
     inner = H.duck_combine(f"list_slice(__th, i + 1, i + {k})")

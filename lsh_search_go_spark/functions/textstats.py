@@ -23,7 +23,7 @@ def doc_profile(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     mean token length, and a rolling-hash fingerprint of the normalized
     token stream (order-sensitive poly combine of token hashes — two docs
     share a fingerprint iff their normalized token streams are identical)."""
-    toks = tokens_expr(cfg.content_col, cfg.lowercase)
+    toks = tokens_expr(cfg.content_col, cfg.lowercase, cfg.strip_comments)
     th = f"transform({toks}, t -> {H.poly31_char_hash_expr('t')})"
     sw = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
     return df.select(
@@ -38,7 +38,7 @@ def doc_profile(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def token_frequencies(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Global token frequency table (token, n_docs, n_occurrences)."""
-    toks = tokens_expr(cfg.content_col, cfg.lowercase)
+    toks = tokens_expr(cfg.content_col, cfg.lowercase, cfg.strip_comments)
     exploded = df.select(
         F.col(cfg.id_col),
         F.explode(F.expr(toks)).alias("token"),
@@ -52,7 +52,7 @@ def token_frequencies(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 # --- DuckDB mirrors ---------------------------------------------------------
 
 def duck_doc_profile_exprs(content_sql: str, cfg: DedupConfig) -> dict[str, str]:
-    toks = duck_tokens(content_sql, cfg.lowercase)
+    toks = duck_tokens(content_sql, cfg.lowercase, cfg.strip_comments)
     th = f"list_transform({toks}, t -> {H.duck_poly31('t')})"
     sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
     return {

@@ -60,7 +60,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("src_id", "dst_id")).alias("h"),
+        F.expr("bit_xor(xxhash64(src_id, dst_id))").alias("h"),
     ).collect()[0]
     return (row["n"] or 0, row["h"] or 0)
 

@@ -1,0 +1,180 @@
+"""The end-to-end dedup pipeline: ingest → signatures → buckets → pairs →
+clusters, each stage checkpointed and resumable.
+
+Reference lifecycle analog (/root/reference/lsh/lsh.go:107-199):
+``Train`` = signatures+buckets stages (hash every doc, store signatures and
+bucket memberships); ``Search`` = pairs stage (bucket join → dedup → exact
+verify → threshold); clustering is the north_star extension.  The reference's
+goroutine fan-out (batch per goroutine, lsh/lsh.go:116-134) is Spark
+partitioning; its in-memory KV store becomes Parquet/Iceberg stage tables.
+
+Resume contract: every stage writes to ``workdir/<config_hash>/<stage>`` with
+an atomic ``_SUCCESS`` marker; a re-run skips completed stages (idempotent —
+same config hash ⇒ same bytes).  A manifest.json records rows/timings per
+stage, and a ``lineage`` table records per-partition row counts.
+
+Scale design notes (100 TB / 10^12 files):
+- ingest repartitions by a *size-aware salt*: hash(doc_id) salted so giant
+  files spread, small files batch — Arrow batch sizes stay bounded;
+- signatures is one scan + one narrow write (no shuffle);
+- buckets is posexplode + write partitioned by band_id (partition pruning on
+  the probe side);
+- pairs self-join shuffles on (band_id, band_hash) with AQE skew splitting +
+  the max_bucket_size guard (dropped buckets are *logged*, never silent);
+- CC rounds localCheckpoint to keep lineage flat.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark.config import DedupConfig
+from lsh_search_go_spark.functions import hashing as H
+from lsh_search_go_spark.functions.shingles import with_shingles
+from lsh_search_go_spark.functions.simhash import with_simhash
+from lsh_search_go_spark.metrics import partition_lineage
+from lsh_search_go_spark.operators.bands import (candidate_pairs, explode_bands,
+                                                 oversized_buckets)
+from lsh_search_go_spark.operators.cc import assign_clusters
+from lsh_search_go_spark.operators.substring import substring_pairs
+from lsh_search_go_spark.operators.verify import jaccard_verify
+from lsh_search_go_spark.sources.io import (StageResult, read_table, stage_complete,
+                                            write_manifest, write_table)
+
+
+@dataclass
+class PipelineResult:
+    workdir: str
+    stages: list[StageResult] = field(default_factory=list)
+    tables: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def total_seconds(self) -> float:
+        return sum(s.seconds for s in self.stages)
+
+
+class DedupPipeline:
+    """Orchestrates the batch dedup run.  ``impl`` picks the signature
+    backend: "pandas" (Arrow-vectorized UDFs — the spec path) or "sql"
+    (JVM higher-order functions — bit-identical, used by the oracle gate)."""
+
+    STAGES = ("ingest", "signatures", "buckets", "pairs", "substring", "clusters")
+
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, workdir: str,
+                 impl: str = "pandas", target_partitions: int | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.impl = impl
+        self.root = os.path.join(workdir, cfg.config_hash)
+        self.target_partitions = target_partitions or max(
+            spark.sparkContext.defaultParallelism, 4
+        )
+
+    # ------------------------------------------------------------------
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _run_stage(self, name: str, result: PipelineResult, build,
+                   partition_by: list[str] | None = None, force: bool = False):
+        path = self._path(name)
+        t0 = time.time()
+        if stage_complete(path) and not force:
+            df = read_table(self.spark, path)
+            result.stages.append(StageResult(name, path, df.count(),
+                                             time.time() - t0, resumed=True))
+            result.tables[name] = path
+            return df
+        df = build()
+        write_table(df, path, partition_by=partition_by)
+        out = read_table(self.spark, path)
+        rows = out.count()
+        lineage = partition_lineage(out, name)
+        write_table(lineage, os.path.join(self.root, "lineage", name))
+        result.stages.append(StageResult(name, path, rows,
+                                         time.time() - t0, resumed=False))
+        result.tables[name] = path
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self, source: DataFrame, with_substring: bool = True) -> PipelineResult:
+        cfg = self.cfg
+        result = PipelineResult(workdir=self.root)
+        a, b = cfg.minhash_params
+
+        # ---- ingest: id + invariant sha + size-aware salted partitioning
+        def build_ingest():
+            df = source
+            if cfg.id_col not in df.columns:
+                df = df.withColumn(
+                    cfg.id_col,
+                    F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256),
+                )
+            df = df.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
+            df = df.withColumn("content_bytes", F.length(cfg.content_col))
+            # size-aware salt: docs land in partitions by id hash; giant docs
+            # get their own salt stratum so no Arrow batch blows up.
+            df = df.withColumn(
+                "__salt",
+                F.when(F.col("content_bytes") > 256 * 1024,
+                       F.xxhash64(cfg.id_col) % (self.target_partitions * 4))
+                .otherwise(F.xxhash64(cfg.id_col) % self.target_partitions),
+            )
+            return df.repartition(self.target_partitions, "__salt").drop("__salt")
+
+        ingest = self._run_stage("ingest", result, build_ingest)
+
+        # ---- signatures: shingles + minhash sig + band hashes + simhash
+        def build_signatures():
+            df = with_shingles(ingest, cfg, self.impl)
+            df = df.withColumn("minhash", H.minhash_signature("shingles", a, b))
+            df = df.withColumn(
+                "bands", H.banded_hashes("minhash", cfg.num_bands, cfg.rows_per_band)
+            )
+            df = with_simhash(df, cfg, self.impl)
+            return df.select(cfg.id_col, "content_sha", "content_bytes",
+                             "shingles", "minhash", "bands", "simhash")
+
+        signatures = self._run_stage("signatures", result, build_signatures)
+
+        # ---- buckets: (band_id, band_hash, doc_id), partitioned by band_id
+        def build_buckets():
+            return explode_bands(
+                signatures.filter(F.size("shingles") > 0), cfg.id_col, "bands"
+            )
+
+        buckets = self._run_stage("buckets", result, build_buckets,
+                                  partition_by=["band_id"])
+
+        # ---- pairs: candidates → exact-Jaccard verify (inclusive threshold)
+        def build_pairs():
+            dropped = oversized_buckets(buckets, cfg.max_bucket_size)
+            write_table(dropped, os.path.join(self.root, "dropped_buckets"))
+            cands = candidate_pairs(buckets, cfg.id_col, cfg.max_bucket_size)
+            return jaccard_verify(cands, signatures, cfg.jaccard_threshold,
+                                  cfg.id_col, "shingles")
+
+        pairs = self._run_stage("pairs", result, build_pairs)
+
+        # ---- substring containment (suffix-array slot)
+        if with_substring:
+            def build_substring():
+                return substring_pairs(
+                    ingest.join(signatures.select(cfg.id_col, "shingles"), cfg.id_col),
+                    cfg,
+                )
+            self._run_stage("substring", result, build_substring)
+
+        # ---- clusters: CC over verified dup edges
+        def build_clusters():
+            return assign_clusters(ingest, pairs, cfg.id_col)
+
+        self._run_stage("clusters", result, build_clusters)
+
+        write_manifest(self.root, cfg.config_hash, result.stages,
+                       extra={"impl": self.impl})
+        return result
