@@ -81,17 +81,30 @@ def banded_hashes(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
     return F.expr(f"transform(sequence(0, {num_bands - 1}), j -> {inner})")
 
 
+def params_struct_array(a: tuple[int, ...], b: tuple[int, ...]) -> str:
+    """SQL literal: array<struct<a:bigint,b:bigint>> of hash-family params.
+
+    IMPORTANT performance note: referencing ``element_at(<array literal>, i)``
+    inside an inner lambda makes Catalyst re-construct the whole literal array
+    per evaluation — O(num_perm) per shingle per perm, which turned a 1-second
+    job into minutes.  Binding each (a_i, b_i) pair as the *lambda variable*
+    of an outer ``transform`` evaluates the literal array once per row."""
+    entries = ",".join(
+        f"named_struct('a', cast({ai} as bigint), 'b', cast({bi} as bigint))"
+        for ai, bi in zip(a, b)
+    )
+    return f"array({entries})"
+
+
 def minhash_signature(shingles_col: str, a: tuple[int, ...], b: tuple[int, ...]) -> Column:
     """array<bigint> distinct shingle hashes → array<bigint>[num_perm] MinHash.
 
-    sig_i = min over shingles of (a_i*h + b_i) mod p.  Uses an indexed
-    ``transform`` over the literal parameter arrays — all JVM-side.
+    sig_i = min over shingles of (a_i*h + b_i) mod p — all JVM-side; the
+    params ride as an array-of-structs literal bound by the outer lambda.
     """
-    a_lit = f"array({','.join(str(x) for x in a)})"
-    b_lit = f"array({','.join(str(x) for x in b)})"
     return F.expr(
-        f"transform({a_lit}, (a, i) -> "
-        f"array_min(transform({shingles_col}, h -> (a * h + element_at({b_lit}, i + 1)) % {P})))"
+        f"transform({params_struct_array(a, b)}, p -> "
+        f"array_min(transform({shingles_col}, h -> (p.a * h + p.b) % {P})))"
     )
 
 

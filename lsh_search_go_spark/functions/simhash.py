@@ -37,24 +37,41 @@ HALF = (P - 1) // 2  # 1073741823; sign is + iff uhash > HALF
 # Spark-SQL backend
 # ---------------------------------------------------------------------------
 
-def simhash_words_sql(shingles_col: str, cfg: DedupConfig) -> Column:
-    """array<bigint> distinct shingle hashes → array<bigint>[nwords] SimHash."""
+def _simhash_bits_sql_str(shingles_col: str, cfg: DedupConfig) -> str:
+    """SQL string: array<bigint> shingles → array<bigint>[nbits] of 0/1 bits.
+
+    Params ride as an array-of-structs literal bound by the outer transform
+    (see hashing.params_struct_array for why element_at(literal, i) inside the
+    inner lambda is catastrophic)."""
+    from lsh_search_go_spark.functions.hashing import params_struct_array
+
     a, b = cfg.simhash_params
-    nwords = cfg.simhash_bits // 32
-    a_lit = f"array({','.join(map(str, a))})"
-    b_lit = f"array({','.join(map(str, b))})"
-    bit_idx = "(w * 32 + jj)"
     signsum = (
         f"aggregate({shingles_col}, cast(0 as bigint), (s, h) -> s + "
-        f"(case when (element_at({a_lit}, {bit_idx} + 1) * h "
-        f"+ element_at({b_lit}, {bit_idx} + 1)) % {P} > {HALF} then 1 else -1 end))"
+        f"(case when (p.a * h + p.b) % {P} > {HALF} then 1 else -1 end))"
     )
+    return (
+        f"transform({params_struct_array(a, b)}, p -> "
+        f"(case when {signsum} > 0 then cast(1 as bigint) else cast(0 as bigint) end))"
+    )
+
+
+def _pack_bits_sql_str(bits_sql: str, nbits: int) -> str:
+    """SQL string: array<bigint>[nbits] of 0/1 → array<bigint>[nbits/32] words,
+    LSB-first within each word (word = Σ bit_j << j) — same convention as the
+    numpy backend (1 << arange(32)) and the DuckDB mirror."""
+    nwords = nbits // 32
     word = (
-        f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, jj) -> acc + "
-        f"(case when {signsum} > 0 then shiftleft(cast(1 as bigint), jj) "
-        f"else cast(0 as bigint) end))"
+        f"aggregate(reverse(slice({bits_sql}, w * 32 + 1, 32)), cast(0 as bigint), "
+        f"(acc, bit) -> acc * 2 + bit)"
     )
-    return F.expr(f"transform(sequence(0, {nwords - 1}), w -> {word})")
+    return f"transform(sequence(0, {nwords - 1}), w -> {word})"
+
+
+def simhash_words_sql(shingles_col: str, cfg: DedupConfig) -> Column:
+    """array<bigint> distinct shingle hashes → array<bigint>[nwords] SimHash."""
+    bits = _simhash_bits_sql_str(shingles_col, cfg)
+    return F.expr(_pack_bits_sql_str(bits, cfg.simhash_bits))
 
 
 def hamming_expr(col1: str, col2: str) -> Column:

@@ -1,0 +1,435 @@
+"""Driver-gate query catalog: paired (Spark DataFrame builder, DuckDB oracle
+SQL) per operator from SURVEY.md §2.
+
+Each entry exercises a library operator on the driver's testdata tables
+(``documents`` for text dedup, ``embeddings`` for vector ops) and states the
+equivalent ANSI SQL for DuckDB.  Column names, value types and even float
+fold orders are mirrored so the driver's order-insensitive value-hash matches
+bit-for-bit.
+
+The documents table is adapted as (doc_id ← doc_id, content ← text); the
+pipeline itself is configured by column name, so the code-corpus shape from
+BASELINE.json (repo/path/commit/lang/content) and this shape run through the
+same operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark.config import DedupConfig
+from lsh_search_go_spark.functions import hashing as H
+from lsh_search_go_spark.functions import shingles as SHG
+from lsh_search_go_spark.functions import simhash as SIM
+from lsh_search_go_spark.functions import textstats as TS
+from lsh_search_go_spark.functions import vector as V
+from lsh_search_go_spark.operators import bands as B
+from lsh_search_go_spark.operators import bruteforce as BF
+from lsh_search_go_spark.operators import exact as EX
+from lsh_search_go_spark.operators import substring as SUB
+from lsh_search_go_spark.operators import verify as VF
+from lsh_search_go_spark.operators.cc import assign_clusters
+
+CFG = DedupConfig(id_col="doc_id", content_col="content")
+ANN_K = 10
+ANN_N_QUERIES = 20
+# testdata embeddings are near-uniform random directions: pairwise cosine
+# distance concentrates near 1.0; 0.5 admits only the tightest pairs.
+EMB_NEARDUP_T = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _shingled(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
+    """Shingled docs, persisted: Catalyst's projection collapse would otherwise
+    inline the shingle expression into every downstream reference (e.g. 128×
+    per row under the MinHash transform) — materializing once is the same
+    move the pipeline makes by writing the signatures stage to Parquet."""
+    return SHG.with_shingles(_docs(spark, sf_dir), CFG, impl).persist()
+
+
+# --------------------------------------------------------------------------
+# Spark query builders
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_groups(spark, sf_dir):
+    return EX.exact_dup_groups(_docs(spark, sf_dir), "doc_id", "content")
+
+
+def q_doc_profile(spark, sf_dir):
+    return TS.doc_profile(_docs(spark, sf_dir), CFG)
+
+
+def q_token_frequencies(spark, sf_dir):
+    return TS.token_frequencies(_docs(spark, sf_dir), CFG)
+
+
+def q_shingle_profile(spark, sf_dir):
+    sh = _shingled(spark, sf_dir)
+    return sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.expr(H.combine_hash_expr("shingles")).alias("shingle_checksum"),
+    )
+
+
+def _minhash_sigs(spark, sf_dir, impl):
+    a, b = CFG.minhash_params
+    return (
+        _shingled(spark, sf_dir, impl)
+        .filter(F.size("shingles") > 0)
+        .withColumn("minhash", H.minhash_signature("shingles", a, b))
+        .persist()
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return (
+        _minhash_sigs(spark, sf_dir, "sql")
+        .select("doc_id", F.posexplode("minhash").alias("perm_id", "minhash"))
+    )
+
+
+def q_minhash_signatures_pandas(spark, sf_dir):
+    """Same output as q_minhash_signatures but shingling runs through the
+    Arrow/pandas backend — the oracle SQL is shared, so the gate certifies the
+    vectorized-UDF path too."""
+    return (
+        _minhash_sigs(spark, sf_dir, "pandas")
+        .select("doc_id", F.posexplode("minhash").alias("perm_id", "minhash"))
+    )
+
+
+def q_lsh_bands(spark, sf_dir):
+    sigs = _minhash_sigs(spark, sf_dir, "sql").withColumn(
+        "bands", H.banded_hashes("minhash", CFG.num_bands, CFG.rows_per_band)
+    )
+    return B.explode_bands(sigs, "doc_id", "bands")
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    return B.candidate_pairs(q_lsh_bands(spark, sf_dir), "doc_id")
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    cands = q_lsh_candidate_pairs(spark, sf_dir)
+    sh = _shingled(spark, sf_dir)
+    out = VF.jaccard_verify(cands, sh, CFG.jaccard_threshold, "doc_id", "shingles")
+    return out.select("src_id", "dst_id", "inter", "uni",
+                      F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_jaccard_dup_pairs_exact(spark, sf_dir):
+    """Brute-force oracle-semantics pairs (NNMock analog) as its own query."""
+    sh = _shingled(spark, sf_dir).filter(F.size("shingles") > 0).persist()
+    a = sh.select(F.col("doc_id").alias("src_id"), F.col("shingles").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("dst_id"), F.col("shingles").alias("__sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("uni", F.size("__sa") + F.size("__sb") - F.col("inter"))
+        .filter((F.col("uni") > 0)
+                & (F.col("inter") >= F.lit(CFG.jaccard_threshold) * F.col("uni")))
+        .select("src_id", "dst_id", "inter", "uni",
+                F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias("jaccard_r"))
+    )
+
+
+def q_dup_clusters(spark, sf_dir):
+    pairs = q_minhash_dup_pairs(spark, sf_dir).select("src_id", "dst_id")
+    return assign_clusters(_docs(spark, sf_dir), pairs, "doc_id")
+
+
+def q_simhash_signatures(spark, sf_dir):
+    sh = _shingled(spark, sf_dir)
+    return (
+        SIM.with_simhash(sh, CFG, "sql")
+        .select("doc_id", F.posexplode("simhash").alias("word_id", "word"))
+    )
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """Brute-force Hamming pairs <= threshold (exact verify semantics; the
+    banded-candidate variant is pipeline-internal and pytest-gated)."""
+    sh = SIM.with_simhash(_shingled(spark, sf_dir), CFG, "sql").filter(
+        F.size("shingles") > 0
+    ).persist()
+    a = sh.select(F.col("doc_id").alias("src_id"), F.col("simhash").alias("__ha"))
+    b = sh.select(F.col("doc_id").alias("dst_id"), F.col("simhash").alias("__hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .withColumn("hamming", SIM.hamming_expr("__ha", "__hb"))
+        .filter(F.col("hamming") <= CFG.hamming_threshold)
+        .select("src_id", "dst_id", "hamming")
+    )
+
+
+def q_substring_containment(spark, sf_dir):
+    sh = _shingled(spark, sf_dir)
+    return SUB.substring_pairs(sh, CFG)
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    out = BF.brute_force_topk(corpus, queries, ANN_K, "cosine")
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("dist", 9).alias("dist_r"))
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"),
+                                     F.col("embedding").alias("vec"))
+    out = BF.threshold_pairs(emb, EMB_NEARDUP_T, "cosine")
+    return out.select("src_id", "dst_id", F.round("dist", 9).alias("dist_r"))
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+def _duck_docs_cte() -> str:
+    return "select doc_id, text as content from documents"
+
+
+def _duck_shingled_cte() -> str:
+    return (
+        f"select doc_id, {SHG.duck_shingle_hashes('content', CFG)} as shingles "
+        f"from ({_duck_docs_cte()})"
+    )
+
+
+def _duck_minhash_cte() -> str:
+    a, b = CFG.minhash_params
+    a_lit = "[" + ",".join(map(str, a)) + "]"
+    b_lit = "[" + ",".join(map(str, b)) + "]"
+    return f"""
+with sh as ({_duck_shingled_cte()}),
+perms as (
+  select unnest(range({CFG.num_perm})) as perm_id,
+         unnest({a_lit}) as a, unnest({b_lit}) as b
+)
+select sh.doc_id, perms.perm_id,
+       list_min(list_transform(sh.shingles, h -> (perms.a * h + perms.b) % {H.P})) as minhash
+from sh, perms
+where len(sh.shingles) > 0
+"""
+
+
+def _duck_bands_cte() -> str:
+    r = CFG.rows_per_band
+    return f"""
+with mh as ({_duck_minhash_cte()}),
+sig as (
+  select doc_id, list(minhash order by perm_id) as sig from mh group by doc_id
+)
+select doc_id, band_id,
+       {H.duck_combine(f'list_slice(sig, band_id * {r} + 1, band_id * {r} + {r})')} as band_hash
+from sig, (select unnest(range({CFG.num_bands})) as band_id)
+"""
+
+
+def _duck_candidate_pairs_cte() -> str:
+    return f"""
+with bands as ({_duck_bands_cte()})
+select distinct a.doc_id as src_id, b.doc_id as dst_id
+from bands a join bands b
+  on a.band_id = b.band_id and a.band_hash = b.band_hash and a.doc_id < b.doc_id
+"""
+
+
+def _duck_verified_pairs_sql() -> str:
+    t = CFG.jaccard_threshold
+    return f"""
+with cands as ({_duck_candidate_pairs_cte()}),
+sh as ({_duck_shingled_cte()})
+select c.src_id, c.dst_id,
+       len(list_intersect(sa.shingles, sb.shingles)) as inter,
+       len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) as uni,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) as jaccard_r
+from cands c
+join sh sa on sa.doc_id = c.src_id
+join sh sb on sb.doc_id = c.dst_id
+where len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) > 0
+  and len(list_intersect(sa.shingles, sb.shingles))
+      >= {t} * (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+"""
+
+
+def oracle_sql_map() -> dict[str, str]:
+    t = CFG.jaccard_threshold
+    prof = TS.duck_doc_profile_exprs("content", CFG)
+    sql: dict[str, str] = {}
+
+    sql["exact_dedup_groups"] = f"""
+select sha256(content) as content_sha, count(*) as n_dups, min(doc_id) as canonical_id
+from ({_duck_docs_cte()}) group by 1
+"""
+
+    sql["doc_profile"] = f"""
+select doc_id, {prof['n_tokens']} as n_tokens,
+       {prof['n_distinct_tokens']} as n_distinct_tokens,
+       {prof['n_stopwords']} as n_stopwords,
+       {prof['n_token_chars']} as n_token_chars,
+       {prof['fingerprint']} as fingerprint
+from ({_duck_docs_cte()})
+"""
+
+    toks = SHG.duck_tokens("content", CFG.lowercase, CFG.strip_comments)
+    sql["token_frequencies"] = f"""
+select token, count(distinct doc_id) as n_docs, count(*) as n_occurrences
+from (select doc_id, unnest({toks}) as token from ({_duck_docs_cte()}))
+group by token
+"""
+
+    sql["shingle_profile"] = f"""
+select doc_id, len(shingles) as n_shingles,
+       {H.duck_combine('shingles')} as shingle_checksum
+from ({_duck_shingled_cte()})
+"""
+
+    sql["minhash_signatures"] = _duck_minhash_cte()
+    sql["minhash_signatures_pandas"] = _duck_minhash_cte()
+    sql["lsh_bands"] = _duck_bands_cte()
+    sql["lsh_candidate_pairs"] = _duck_candidate_pairs_cte()
+    sql["minhash_dup_pairs"] = _duck_verified_pairs_sql()
+
+    sql["jaccard_dup_pairs_exact"] = f"""
+with sh as ({_duck_shingled_cte()})
+select a.doc_id as src_id, b.doc_id as dst_id,
+       len(list_intersect(a.shingles, b.shingles)) as inter,
+       len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) as uni,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) as jaccard_r
+from sh a join sh b on a.doc_id < b.doc_id
+where len(a.shingles) > 0 and len(b.shingles) > 0
+  and len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+  and len(list_intersect(a.shingles, b.shingles))
+      >= {t} * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+"""
+
+    sql["dup_clusters"] = f"""
+with pairs as ({_duck_verified_pairs_sql()}),
+sym as (
+  select src_id as a, dst_id as b from pairs
+  union
+  select dst_id as a, src_id as b from pairs
+),
+rec as (
+  with recursive reach(a, b) as (
+    select a, b from sym
+    union
+    select r.a, s.b from reach r join sym s on r.b = s.a where s.b != r.a
+  )
+  select * from reach
+)
+select d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) as cluster_id
+from ({_duck_docs_cte()}) d left join rec r on r.a = d.doc_id
+group by d.doc_id
+"""
+
+    simhash_list = SIM.duck_simhash_words("sh.shingles", CFG)
+    sql["simhash_signatures"] = f"""
+with sh as ({_duck_shingled_cte()}),
+sigs as (select doc_id, {simhash_list} as words from sh)
+select doc_id, unnest(range({CFG.simhash_bits // 32})) as word_id,
+       unnest(words) as word
+from sigs
+"""
+
+    nwords = CFG.simhash_bits // 32
+    sql["simhash_dup_pairs"] = f"""
+with sh as ({_duck_shingled_cte()}),
+sigs as (select doc_id, {simhash_list} as words from sh where len(sh.shingles) > 0)
+select a.doc_id as src_id, b.doc_id as dst_id,
+       {SIM.duck_hamming('a.words', 'b.words', nwords)} as hamming
+from sigs a join sigs b on a.doc_id < b.doc_id
+where {SIM.duck_hamming('a.words', 'b.words', nwords)} <= {CFG.hamming_threshold}
+"""
+
+    norm = f"array_to_string({toks}, ' ')"
+    sql["substring_containment"] = f"""
+with n as (select doc_id, {norm} as nt from ({_duck_docs_cte()}))
+select a.doc_id as inner_id, b.doc_id as outer_id
+from n a join n b on a.doc_id != b.doc_id
+where length(a.nt) < length(b.nt) and position(a.nt in b.nt) > 0
+  and len({SHG.duck_tokens('a.nt', False)}) >= {CFG.shingle_k}
+"""
+
+    cos = V.duck_cosine_dist("q.embedding", "c.embedding")
+    sql["ann_topk_bruteforce"] = f"""
+with scored as (
+  select q.vec_id as query_id, c.vec_id as neighbor_id, {cos} as dist
+  from embeddings q join embeddings c on c.vec_id != q.vec_id
+  where q.vec_id < {ANN_N_QUERIES}
+),
+ranked as (
+  select query_id, neighbor_id, dist,
+         row_number() over (partition by query_id order by dist asc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, rank, neighbor_id, round(dist, 9) as dist_r
+from ranked where rank <= {ANN_K}
+"""
+
+    cos2 = V.duck_cosine_dist("a.embedding", "b.embedding")
+    sql["embedding_neardup_pairs"] = f"""
+select a.vec_id as src_id, b.vec_id as dst_id, round({cos2}, 9) as dist_r
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {cos2} <= {EMB_NEARDUP_T}
+"""
+
+    return sql
+
+
+def _longify(fn: Callable[[SparkSession, str], DataFrame]):
+    """Cast narrow int columns to bigint so Spark and DuckDB (whose len()/
+    row_number()/range() are all BIGINT) agree on output dtypes — the driver
+    value-hashes typed values."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        for name, dtype in df.dtypes:
+            if dtype in ("int", "smallint", "tinyint"):
+                df = df.withColumn(name, F.col(name).cast("long"))
+        return df
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "exact_dedup_groups": _longify(q_exact_dedup_groups),
+        "doc_profile": _longify(q_doc_profile),
+        "token_frequencies": _longify(q_token_frequencies),
+        "shingle_profile": _longify(q_shingle_profile),
+        "minhash_signatures": _longify(q_minhash_signatures),
+        "minhash_signatures_pandas": _longify(q_minhash_signatures_pandas),
+        "lsh_bands": _longify(q_lsh_bands),
+        "lsh_candidate_pairs": _longify(q_lsh_candidate_pairs),
+        "minhash_dup_pairs": _longify(q_minhash_dup_pairs),
+        "jaccard_dup_pairs_exact": _longify(q_jaccard_dup_pairs_exact),
+        "dup_clusters": _longify(q_dup_clusters),
+        "simhash_signatures": _longify(q_simhash_signatures),
+        "simhash_dup_pairs": _longify(q_simhash_dup_pairs),
+        "substring_containment": _longify(q_substring_containment),
+        "ann_topk_bruteforce": _longify(q_ann_topk_bruteforce),
+        "embedding_neardup_pairs": _longify(q_embedding_neardup_pairs),
+    }
