@@ -1,0 +1,325 @@
+"""Reference-parity ANN index: a forest of biased random-hyperplane trees.
+
+Re-realizes the reference's exact model semantics, vectorized:
+
+* plane from a sampled point pair — ``center = (p0+p1)/2``, ``n = p1 - center``,
+  ``d = <center, n>`` — a *biased* plane not through the origin
+  (/root/reference/lsh/hasher.go:86-98);
+* the two sampled points are sorted by ascending L2 norm and normalized iff
+  the metric is angular (/root/reference/lsh/hasher.go:100-134);
+* tree growth splits on the plane sign, recursing into a side only while it
+  holds more than ``k_min_vecs`` points, with depth capped at 63 so the bit
+  path fits 64 bits (/root/reference/lsh/hasher.go:136-161);
+* a vector's per-tree hash is the root-to-leaf bit path: bit at ``depth`` set
+  iff strictly on the negative side, then go left (/root/reference/lsh/hasher.go:38-57);
+* queries are normalized iff angular (/root/reference/lsh/hasher.go:197-205);
+* multiprobe flips the most-significant set bit of each hash
+  (/root/reference/lsh/lsh.go:148-157);
+* candidates verified with the exact metric, admitted iff dist <= threshold
+  (inclusive, /root/reference/lsh/lsh.go:174-190), top-k by window
+  (/root/reference/lsh/lsh.go:22-47, 194-198).
+
+Deliberate departures (documented, SURVEY §7.0): fixed seed instead of
+wall-clock (/root/reference/lsh/hasher.go:165 is non-reproducible); no
+arrival-order-dependent ``maxCandidates`` early exit — Spark can't early-exit
+a join; the deterministic skew guard is a per-bucket cap.
+
+Spark shape: the model is fit driver-side on a corpus *sample* (tiny —
+numpy), broadcast once; hashing runs as an Arrow-batched pandas UDF doing one
+matmul-style traversal step per depth level across the whole batch; buckets
+and candidate verification are DataFrame joins.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lsh_search_go_spark.config import TOL, AnnConfig
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FlatTree:
+    """One hyperplane tree flattened to arrays for vectorized traversal.
+    Node 0 is the root; child index -1 = absent (leaf edge)."""
+    normals: np.ndarray          # (n_nodes, dims)
+    offsets: np.ndarray          # (n_nodes,)
+    left: np.ndarray             # (n_nodes,) int32
+    right: np.ndarray            # (n_nodes,) int32
+
+
+@dataclass
+class HasherModel:
+    cfg: AnnConfig
+    trees: list[FlatTree] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "cfg": vars(self.cfg).copy() if hasattr(self.cfg, "__dict__") else
+                   {k: getattr(self.cfg, k) for k in (
+                       "n_trees", "k_min_vecs", "dims", "is_angular", "max_depth",
+                       "sample_size", "multiprobe", "seed", "batch_candidates_cap")},
+            "trees": [
+                {"normals": t.normals.tolist(), "offsets": t.offsets.tolist(),
+                 "left": t.left.tolist(), "right": t.right.tolist()}
+                for t in self.trees
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HasherModel":
+        cfg = AnnConfig(**d["cfg"])
+        trees = [
+            FlatTree(np.array(t["normals"], dtype=np.float64),
+                     np.array(t["offsets"], dtype=np.float64),
+                     np.array(t["left"], dtype=np.int32),
+                     np.array(t["right"], dtype=np.int32))
+            for t in d["trees"]
+        ]
+        return cls(cfg, trees)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    """Normalize rows with the reference's tol guard: leave near-zero vectors
+    untouched (/root/reference/lsh/helpers.go:13-15 usage)."""
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    safe = np.where(norms > TOL, norms, 1.0)
+    return x / safe
+
+
+def _plane_from_pair(p0: np.ndarray, p1: np.ndarray) -> tuple[np.ndarray, float]:
+    """planeByPoints (/root/reference/lsh/hasher.go:86-98)."""
+    center = 0.5 * (p0 + p1)
+    n = p1 - center
+    d = float(center @ n)
+    return n, d
+
+
+def _random_plane(vecs: np.ndarray, rng: np.random.Generator,
+                  is_angular: bool) -> tuple[np.ndarray, float]:
+    """getRandomPlane (/root/reference/lsh/hasher.go:100-134): two distinct
+    random points, sorted ascending by L2 norm, normalized iff angular."""
+    n = vecs.shape[0]
+    i, j = rng.choice(n, size=2, replace=False)
+    p0, p1 = vecs[i], vecs[j]
+    if np.linalg.norm(p0) > np.linalg.norm(p1):
+        p0, p1 = p1, p0
+    if is_angular:
+        p0, p1 = _normalize(p0), _normalize(p1)
+    return _plane_from_pair(p0, p1)
+
+
+class _TreeBuilder:
+    def __init__(self, cfg: AnnConfig, rng: np.random.Generator):
+        self.cfg = cfg
+        self.rng = rng
+        self.normals: list[np.ndarray] = []
+        self.offsets: list[float] = []
+        self.left: list[int] = []
+        self.right: list[int] = []
+
+    def grow(self, vecs: np.ndarray, depth: int) -> int:
+        """growTree (/root/reference/lsh/hasher.go:136-161).  Returns node idx
+        or -1 for a leaf edge."""
+        if depth > self.cfg.max_depth or vecs.shape[0] < 2:
+            return -1
+        n, d = _random_plane(vecs, self.rng, self.cfg.is_angular)
+        idx = len(self.normals)
+        self.normals.append(n)
+        self.offsets.append(d)
+        self.left.append(-1)
+        self.right.append(-1)
+        signs = (vecs @ n - d) < 0  # strictly negative side → left, bit set
+        lvecs, rvecs = vecs[signs], vecs[~signs]
+        if lvecs.shape[0] > self.cfg.k_min_vecs:
+            self.left[idx] = self.grow(lvecs, depth + 1)
+        if rvecs.shape[0] > self.cfg.k_min_vecs:
+            self.right[idx] = self.grow(rvecs, depth + 1)
+        return idx
+
+    def flat(self) -> FlatTree:
+        return FlatTree(
+            np.array(self.normals, dtype=np.float64),
+            np.array(self.offsets, dtype=np.float64),
+            np.array(self.left, dtype=np.int32),
+            np.array(self.right, dtype=np.int32),
+        )
+
+
+def fit(sample: np.ndarray, cfg: AnnConfig) -> HasherModel:
+    """Forest build (/root/reference/lsh/hasher.go:171-188).  Deterministic:
+    per-tree rng seeded ``seed + tree_id`` (the reference seeds from the wall
+    clock — deliberately not replicated)."""
+    vecs = np.asarray(sample, dtype=np.float64)
+    if cfg.is_angular:
+        vecs = _normalize(vecs)
+    trees = []
+    for t in range(cfg.n_trees):
+        b = _TreeBuilder(cfg, np.random.default_rng(cfg.seed + t))
+        root = b.grow(vecs, 0)
+        if root == -1:  # degenerate tiny sample: single-node tree
+            b.normals.append(np.zeros(vecs.shape[1]))
+            b.offsets.append(0.0)
+            b.left.append(-1)
+            b.right.append(-1)
+        trees.append(b.flat())
+    return HasherModel(cfg, trees)
+
+
+def fit_from_df(df: DataFrame, cfg: AnnConfig, vec_col: str = "vec") -> HasherModel:
+    """Sample the corpus to the driver and fit — the one small collect of the
+    build path (mirrors Train's in-memory model fit, /root/reference/lsh/lsh.go:113)."""
+    n = df.count()
+    frac = min(1.0, cfg.sample_size / max(n, 1))
+    sample = (df.sample(withReplacement=False, fraction=frac, seed=cfg.seed)
+              .select(vec_col).toPandas()[vec_col])
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    return fit(mat, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized hashing (traverse, /root/reference/lsh/hasher.go:38-57)
+# ---------------------------------------------------------------------------
+
+def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
+    """(B, dims) → (B, n_trees) int64 bit-path hashes, whole batch at once."""
+    cfg = model.cfg
+    if cfg.is_angular:
+        X = _normalize(X)
+    B = X.shape[0]
+    out = np.zeros((B, len(model.trees)), dtype=np.int64)
+    for t_idx, tree in enumerate(model.trees):
+        cur = np.zeros(B, dtype=np.int64)       # all start at root
+        h = np.zeros(B, dtype=np.int64)
+        active = np.ones(B, dtype=bool)
+        depth = 0
+        while active.any() and depth <= cfg.max_depth:
+            idx = cur[active]
+            normals = tree.normals[idx]         # (A, dims)
+            offs = tree.offsets[idx]
+            neg = np.einsum("ad,ad->a", X[active], normals) - offs < 0
+            hh = h[active]
+            hh[neg] |= np.int64(1) << np.int64(depth)
+            h[active] = hh
+            nxt = np.where(neg, tree.left[idx], tree.right[idx])
+            cur_active = cur[active]
+            cur_active[:] = nxt
+            cur[active] = cur_active
+            still = nxt >= 0
+            act_idx = np.flatnonzero(active)
+            active[act_idx[~still]] = False
+            depth += 1
+        out[:, t_idx] = h
+    return out
+
+
+def with_tree_hashes(df: DataFrame, model: HasherModel,
+                     vec_col: str = "vec", out_col: str = "hashes") -> DataFrame:
+    """Arrow-batched pandas UDF: one column array<long>[n_trees] per row.
+    The model rides a Spark broadcast (getHashes analog,
+    /root/reference/lsh/hasher.go:190-219, minus its mutex-serialized
+    pseudo-parallelism which we note and do not replicate)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(model.to_dict())
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        m = HasherModel.from_dict(bc.value)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(hash_batch(X, m).tolist())
+
+    return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# Index build + search (Train/Search, /root/reference/lsh/lsh.go:107-199)
+# ---------------------------------------------------------------------------
+
+def save_model(model: HasherModel, path: str) -> None:
+    """DumpHasher analog (/root/reference/lsh/hasher.go:221-251, lsh/lsh.go:201-209):
+    JSON instead of gob; part of the checkpoint/resume contract."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(model.to_dict(), f)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> HasherModel:
+    import json
+
+    with open(path) as f:
+        return HasherModel.from_dict(json.load(f))
+
+
+def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
+                  vec_col: str = "vec") -> DataFrame:
+    """(id, vec) → buckets(tree_id int, hash bigint, id) — SetHash analog
+    (/root/reference/store/kv/store.go:64-73) as one posexplode + write."""
+    hashed = with_tree_hashes(df, model, vec_col)
+    return hashed.select(
+        F.col(id_col),
+        F.posexplode("hashes").alias("tree_id", "hash"),
+    )
+
+
+def _msb_flip_expr(hash_col: str) -> str:
+    """Multiprobe neighbor hash (/root/reference/lsh/lsh.go:148-153):
+    pos = floor(log2(hash)) for hash > 0 else 0; neighbor = hash ^ (1<<pos)."""
+    pos = f"(case when {hash_col} > 0 then cast(floor(log2({hash_col})) as int) else 0 end)"
+    return f"cast({hash_col} ^ shiftleft(cast(1 as bigint), {pos}) as bigint)"
+
+
+def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
+           model: HasherModel, k: int, max_dist: float,
+           metric: str = "l2",
+           id_col: str = "id", vec_col: str = "vec",
+           query_id_col: str = "query_id", query_vec_col: str = "vec") -> DataFrame:
+    """Batch search: hash queries → (multiprobe) probe expansion → bucket
+    join → pair dedup → exact verify → inclusive threshold → top-k.
+
+    Returns (query_id, rank, neighbor_id, dist).
+    """
+    from lsh_search_go_spark.functions.vector import cosine_dist_expr, l2_dist_expr
+    from lsh_search_go_spark.operators.topk import topk_per_query
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("__qvec"))
+    qh = with_tree_hashes(q, model, "__qvec", "hashes")
+    probes = qh.select(
+        "query_id", "__qvec",
+        F.posexplode("hashes").alias("tree_id", "hash"),
+    )
+    if model.cfg.multiprobe:
+        probes = probes.withColumn(
+            "hash", F.explode(F.array(F.col("hash"), F.expr(_msb_flip_expr("hash"))))
+        )
+    cands = (
+        probes.join(buckets.withColumnRenamed(id_col, "neighbor_id"),
+                    ["tree_id", "hash"])
+        .select("query_id", "__qvec", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])  # closestSet analog (lsh/lsh.go:142)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    dist_expr = cosine_dist_expr if metric == "cosine" else l2_dist_expr
+    scored = (
+        cands.join(c, "neighbor_id")
+        .withColumn("dist", dist_expr("__cvec", "__qvec"))
+        .filter(F.col("dist") <= max_dist)  # inclusive (lsh/lsh.go:179)
+    )
+    return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")
