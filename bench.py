@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries on ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (``--scaling``): runs the identical pipeline job at local[8] and
+local[32] in separate subprocesses on the same input and reports throughput at
+both plus scaling efficiency ``(files_per_sec@32 / files_per_sec@8) / 4`` —
+the sandbox stand-in for the N vs 4N executor-cluster criterion (BASELINE.md).
+Writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_FILES = int(os.environ.get("SPARK_GRAFT_SYNTH_FILES", "10000"))
+
+
+def make_session(cpus: int):
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lsh_search_go_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def run_headline(spark, sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from lsh_search_go_spark import synth
+    from lsh_search_go_spark.config import AnnConfig, DedupConfig
+    from lsh_search_go_spark.functions import hashing as H
+    from lsh_search_go_spark.functions.shingles import with_shingles
+    from lsh_search_go_spark.functions.simhash import with_simhash
+    from lsh_search_go_spark.operators import ann
+    from lsh_search_go_spark.operators.bands import candidate_pairs, explode_bands
+    from lsh_search_go_spark.operators.bruteforce import brute_force_topk
+    from lsh_search_go_spark.operators.cc import assign_clusters
+    from lsh_search_go_spark.operators.exact import exact_dup_groups
+    from lsh_search_go_spark.operators.verify import jaccard_verify
+    from lsh_search_go_spark.pipeline import DedupPipeline
+
+    cfg = DedupConfig()
+    a, b = cfg.minhash_params
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+        .cache()
+    )
+    n_docs = docs.count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. exact dedup (hash groupBy)
+    timed("exact_dedup", lambda: exact_dup_groups(docs, "doc_id", "content").count())
+
+    # 2. signature build — the production Arrow/pandas path
+    def build_sigs():
+        sh = with_shingles(docs, cfg, "pandas")
+        sh = H.with_minhash_bands(sh, cfg, "pandas")
+        sh = with_simhash(sh, cfg, "pandas")
+        return sh.persist(), sh.count()
+
+    sigs, _ = timed("signatures_pandas", build_sigs)
+
+    # 3. LSH bucket join → candidate pairs → exact verify
+    def lsh_pairs():
+        buckets = explode_bands(sigs.filter(F.size("shingles") > 0), "doc_id", "bands")
+        cands = candidate_pairs(buckets, "doc_id", cfg.max_bucket_size)
+        return jaccard_verify(cands, sigs, cfg.jaccard_threshold, "doc_id",
+                              "shingles").persist()
+
+    pairs = timed("lsh_dedup_pairs", lambda: (lambda p: (p, p.count()))(lsh_pairs())[0])
+    extra["n_dup_pairs"] = pairs.count()
+
+    # 4. connected components
+    timed("dup_clusters", lambda: assign_clusters(docs, pairs, "doc_id").count())
+
+    # 5. ANN on embeddings: forest build + batch search vs brute force
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"),
+                F.expr("transform(embedding, x -> cast(x as double))").alias("vec"))
+        .cache()
+    )
+    n_emb = emb.count()
+    acfg = AnnConfig(n_trees=10, k_min_vecs=max(50, n_emb // 50), dims=64,
+                     is_angular=True, seed=42, sample_size=20000)
+    queries = emb.filter(F.col("id") < 100).select(
+        F.col("id").alias("query_id"), "vec"
+    ).cache()
+    queries.count()
+
+    def ann_build():
+        model = ann.fit_from_df(emb, acfg, "vec")
+        buckets = ann.build_buckets(emb, model, "id", "vec").persist()
+        return model, buckets.count(), buckets
+
+    model, _, buckets = timed("ann_build", ann_build)
+    timed("ann_lsh_search", lambda: ann.search(
+        queries, buckets, emb, model, k=10, max_dist=2.0, metric="cosine"
+    ).count())
+    timed("ann_bruteforce_search", lambda: brute_force_topk(
+        emb, queries, 10, "cosine", exclude_self=False
+    ).count())
+
+    # 6. full pipeline on the synthetic code corpus → files/sec headline.
+    # The corpus parquet is materialized OUTSIDE the timed window (production
+    # reads an Iceberg/parquet table; driver-side data conversion is not
+    # pipeline work).
+    workdir = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        src_parquet = os.environ.get("SPARK_GRAFT_SYNTH_PARQUET")
+        if not src_parquet:
+            src_parquet = os.path.join(workdir, "code_files.parquet")
+            synth.to_parquet(synth.generate(n_files=SYNTH_FILES, seed=42), src_parquet)
+        src = spark.read.parquet(src_parquet)
+        n_files = src.count()
+        pcfg = DedupConfig(strip_comments=True)
+        t0 = time.time()
+        pipe = DedupPipeline(spark, pcfg, workdir, impl="pandas",
+                             target_partitions=max(cpus, 8))
+        pres = pipe.run(src, with_substring=True)
+        dt = time.time() - t0
+        timings["pipeline_full_synth"] = round(dt, 3)
+        extra["pipeline_stage_secs"] = {s.name: round(s.seconds, 2)
+                                        for s in pres.stages}
+        extra["synth_files"] = n_files
+        extra["files_per_sec"] = round(n_files / dt, 2)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    extra["n_docs"] = n_docs
+    extra["n_embeddings"] = n_emb
+    return {"timings": timings, "extra": extra}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    spark = make_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    res = run_headline(spark, args.sf_dir, args.cpus)
+    total = round(time.time() - t0, 3)
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    line = {
+        "metric": "headline_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": sf,
+        "cpus": args.cpus,
+        **res["extra"],
+    }
+    out = json.dumps(line)
+    print(out)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(out + "\n")
+    spark.stop()
+
+
+def run_scaling(args) -> None:
+    """Identical pipeline job at local[8] and local[32] over the SAME
+    pre-materialized input parquet; efficiency =
+    (files_per_sec@32 / files_per_sec@8) / 4."""
+    from lsh_search_go_spark import synth
+
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "50000"))
+    shared = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{n_files}.parquet")
+    if not os.path.exists(shared):
+        synth.to_parquet(synth.generate(n_files=n_files, seed=42), shared)
+    results = {}
+    for cpus in (8, 32):
+        out = os.path.join(tempfile.gettempdir(), f"bench_scaling_{cpus}.json")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SYNTH_PARQUET=shared)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--sf-dir", args.sf_dir, "--json-out", out],
+            check=True, env=env,
+        )
+        with open(out) as f:
+            results[cpus] = json.loads(f.read())
+    f8 = results[8]["files_per_sec"]
+    f32 = results[32]["files_per_sec"]
+    eff = round((f32 / f8) / 4.0, 3)
+    report = {
+        "files_per_sec_local8": f8,
+        "files_per_sec_local32": f32,
+        "scaling_efficiency_8_to_32": eff,
+        "pipeline_secs_local8": results[8]["queries"]["pipeline_full_synth"],
+        "pipeline_secs_local32": results[32]["queries"]["pipeline_full_synth"],
+        "synth_files": results[8]["synth_files"],
+    }
+    print(json.dumps(report))
+    with open("BENCH.md", "w") as f:
+        f.write(render_bench_md(results, report))
+
+
+def render_bench_md(results: dict, report: dict) -> str:
+    lines = [
+        "# BENCH — measured numbers (this sandbox: single JVM, local mode)",
+        "",
+        "## Scaling evidence (N vs 4N parallelism)",
+        "",
+        "No real cluster in the sandbox (BASELINE.md): the identical pipeline job",
+        "runs at `local[8]` and `local[32]` on the same input; efficiency =",
+        "`(files_per_sec@32 / files_per_sec@8) / 4`.",
+        "",
+        "| parallelism | pipeline wall s | files/sec |",
+        "|---|---|---|",
+        f"| local[8]  | {report['pipeline_secs_local8']} | {report['files_per_sec_local8']} |",
+        f"| local[32] | {report['pipeline_secs_local32']} | {report['files_per_sec_local32']} |",
+        "",
+        f"**Scaling efficiency 8→32: {report['scaling_efficiency_8_to_32']}** "
+        f"(target ≥ 0.8) on {report['synth_files']} synthetic code files.",
+        "",
+        "## Per-query timings (local[32])",
+        "",
+        "| query | seconds |",
+        "|---|---|",
+    ]
+    for q, s in results[32]["queries"].items():
+        lines.append(f"| {q} | {s} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,93 @@ def banded_np(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray
     return combine_np(sig.reshape(num_bands, rows_per_band))
 
 
+def minhash_batch_np(shingle_lists, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batch MinHash: sequence of per-doc shingle-hash lists → (ndocs, P)
+    signatures.  Fully vectorized: one (P, total_shingles) universal-hash
+    matrix for the whole Arrow batch, then segmented min via
+    ``np.minimum.reduceat`` — no per-document Python in the hot loop.
+
+    Docs with zero shingles get an all-(P-1) sentinel row (they are filtered
+    out before banding by callers; the sentinel keeps shapes rectangular).
+    """
+    ndocs = len(shingle_lists)
+    P_count = a.shape[0]
+    counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
+    total = int(counts.sum())
+    out = np.full((ndocs, P_count), P - 1, dtype=np.int64)
+    if total == 0:
+        return out
+    flat = np.concatenate([np.asarray(x, dtype=np.int64)
+                           for x in shingle_lists if len(x)])
+    # (P, total): a[:,None]*flat < 2^62 — safe in int64
+    hashed = (a[:, None] * flat[None, :] + b[:, None]) % P
+    nonempty = counts > 0
+    starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    seg_starts = starts[nonempty]
+    mins = np.minimum.reduceat(hashed, seg_starts, axis=1)  # (P, n_nonempty)
+    out[nonempty] = mins.T
+    return out
+
+
+def banded_batch_np(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """(ndocs, P) signatures → (ndocs, num_bands) band hashes, vectorized."""
+    ndocs = sigs.shape[0]
+    resh = sigs.reshape(ndocs, num_bands, rows_per_band)
+    h = np.zeros((ndocs, num_bands), dtype=np.int64)
+    for j in range(rows_per_band):
+        h = (h * POLY_COMBINE_MULT + resh[:, :, j]) % P
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Spark wrappers for MinHash + bands (backend-selectable)
+# ---------------------------------------------------------------------------
+
+def with_minhash_bands(df, cfg, impl: str = "sql", shingles_col: str = "shingles"):
+    """Add ``minhash`` and ``bands`` columns.
+
+    impl="sql": JVM higher-order functions.  Bit-identical to the numpy path
+    but evaluated *interpreted* (Spark HOFs don't codegen) — right for the
+    DuckDB-mirrored gate queries, wrong for the 100 TB hot path.
+    impl="pandas": one Arrow-batched UDF, reduceat-vectorized numpy.
+    """
+    import pandas as pd  # noqa: F811 (already imported at module top)
+    from pyspark.sql import types as T
+
+    a, b = cfg.minhash_params
+    if impl == "sql":
+        return (
+            df.withColumn("minhash", minhash_signature(shingles_col, a, b))
+            .withColumn("bands", banded_hashes("minhash", cfg.num_bands,
+                                               cfg.rows_per_band))
+        )
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    an = np.asarray(a, dtype=np.int64)
+    bn = np.asarray(b, dtype=np.int64)
+    num_bands, rows_per_band = cfg.num_bands, cfg.rows_per_band
+    schema = T.StructType([
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(schema)
+    def udf(sh: pd.Series) -> pd.DataFrame:
+        sigs = minhash_batch_np(sh, an, bn)
+        bands = banded_batch_np(sigs, num_bands, rows_per_band)
+        return pd.DataFrame({"minhash": list(sigs.tolist()),
+                             "bands": list(bands.tolist())})
+
+    tmp = df.withColumn("__mb", udf(F.col(shingles_col)))
+    return (
+        tmp.withColumn("minhash", F.col("__mb.minhash"))
+        .withColumn("bands", F.col("__mb.bands"))
+        .drop("__mb")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragment builders (the oracle mirrors, 1:1 with the Spark exprs)
 # ---------------------------------------------------------------------------

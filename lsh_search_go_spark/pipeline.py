@@ -131,10 +131,7 @@ class DedupPipeline:
         # ---- signatures: shingles + minhash sig + band hashes + simhash
         def build_signatures():
             df = with_shingles(ingest, cfg, self.impl)
-            df = df.withColumn("minhash", H.minhash_signature("shingles", a, b))
-            df = df.withColumn(
-                "bands", H.banded_hashes("minhash", cfg.num_bands, cfg.rows_per_band)
-            )
+            df = H.with_minhash_bands(df, cfg, self.impl)
             df = with_simhash(df, cfg, self.impl)
             return df.select(cfg.id_col, "content_sha", "content_bytes",
                              "shingles", "minhash", "bands", "simhash")

@@ -220,6 +220,20 @@ def generate(n_files: int = 200, seed: int = 42,
     return corpus
 
 
+def to_parquet(corpus: SynthCorpus, path: str) -> None:
+    """Write the corpus (with precomputed doc_id) as one parquet file via
+    pyarrow — no Spark session needed (bench pre-materializes the input so
+    the timed pipeline run reads a table, as production would)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {k: [r[k] for r in corpus.rows] for k in
+            ("repo", "path", "commit", "lang", "content")}
+    cols["doc_id"] = [doc_id_of(r["repo"], r["path"], r["commit"])
+                      for r in corpus.rows]
+    pq.write_table(pa.table(cols), path)
+
+
 def to_spark_df(spark, corpus: SynthCorpus):
     from pyspark.sql import functions as F
 
