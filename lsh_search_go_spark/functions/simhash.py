@@ -107,22 +107,33 @@ def simhash_batch(shingle_lists: pd.Series, cfg: DedupConfig) -> pd.Series:
     Flattens the batch, computes one (nbits × total) sign matrix, segment-sums
     with np.add.reduceat — no per-document Python in the hot loop."""
     a, b = cfg.simhash_params
-    an = np.asarray(a, dtype=np.int64)[:, None]
-    bn = np.asarray(b, dtype=np.int64)[:, None]
-    nwords = cfg.simhash_bits // 32
+    an = np.asarray(a, dtype=np.int64)
+    bn = np.asarray(b, dtype=np.int64)
+    nbits = cfg.simhash_bits
+    nwords = nbits // 32
     ndocs = len(shingle_lists)
     counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
     total = int(counts.sum())
     if total == 0:
         return pd.Series([[0] * nwords] * ndocs)
     flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shingle_lists if len(x)])
-    signs = np.where((an * flat[None, :] + bn) % P > HALF, 1, -1).astype(np.int64)
     starts = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     safe_starts = np.minimum(starts, total - 1)
-    sums = np.add.reduceat(signs, safe_starts, axis=1)  # (nbits, ndocs)
-    sums[:, counts == 0] = 0  # reduceat returns a neighbor's value for empty segments
-    bits = (sums > 0).astype(np.int64)
+    empty = counts == 0
+    # loop over bits with a cache-resident working set (see minhash_batch_np:
+    # materializing the (nbits × total) sign matrix saturates memory bandwidth
+    # under many concurrent tasks and destroys multi-core scaling)
+    bits = np.empty((nbits, ndocs), dtype=np.int64)
+    tmp = np.empty_like(flat)
+    for j in range(nbits):
+        np.multiply(flat, an[j], out=tmp)
+        tmp += bn[j]
+        tmp %= P
+        signs = np.where(tmp > HALF, np.int32(1), np.int32(-1))
+        sums = np.add.reduceat(signs, safe_starts)
+        sums[empty] = 0  # reduceat returns a neighbor's value for empty segments
+        bits[j] = sums > 0
     weights = 1 << np.arange(32, dtype=np.int64)
     words = np.einsum("wbd,b->dw", bits.reshape(nwords, 32, ndocs), weights)
     return pd.Series(words.tolist())
@@ -138,6 +149,58 @@ def with_simhash(df: DataFrame, cfg: DedupConfig, impl: str = "sql",
             return simhash_batch(sh, cfg)
         return df.withColumn(out_col, udf(F.col(shingles_col)))
     raise ValueError(f"unknown impl {impl!r}")
+
+
+# ---------------------------------------------------------------------------
+# Banded SimHash LSH (bit-slice buckets)
+# ---------------------------------------------------------------------------
+
+def simhash_band_hashes(sim_col: str, cfg: DedupConfig, n_bands: int = 8) -> Column:
+    """Split the simhash bit signature into ``n_bands`` contiguous bit slices;
+    each slice value is the band hash.  Two signatures within Hamming distance
+    h collide on at least one band when h < n_bands (pigeonhole), so
+    ``n_bands > hamming_threshold`` guarantees recall 1.0 of the banded
+    candidate generation vs brute-force Hamming — the exact-substring analog
+    of MinHash banding, over bit space.
+
+    Works on the word-array signature: band j covers bits
+    [j*w, (j+1)*w) with w = simhash_bits / n_bands (w must divide 32 or be a
+    multiple of it; enforced)."""
+    nbits = cfg.simhash_bits
+    if nbits % n_bands != 0:
+        raise ValueError("n_bands must divide simhash_bits")
+    w = nbits // n_bands
+    if not (32 % w == 0 or w % 32 == 0):
+        raise ValueError("band width must align with 32-bit words")
+    if w <= 32:
+        per_word = 32 // w
+        # band j lives in word j//per_word, bit offset (j%per_word)*w
+        expr = (
+            f"transform(sequence(0, {n_bands - 1}), j -> "
+            f"(element_at({sim_col}, cast(j / {per_word} as int) + 1) "
+            f">> ((j % {per_word}) * {w})) & {(1 << w) - 1})"
+        )
+    else:
+        words_per_band = w // 32
+        combine = (
+            f"aggregate(slice({sim_col}, j * {words_per_band} + 1, {words_per_band}), "
+            f"cast(0 as bigint), (acc, x) -> acc * 4294967296 + x)"
+        )
+        expr = f"transform(sequence(0, {n_bands - 1}), j -> {combine})"
+    return F.expr(expr)
+
+
+def simhash_candidate_pairs(df: DataFrame, cfg: DedupConfig,
+                            n_bands: int = 8, id_col: str = "doc_id",
+                            sim_col: str = "simhash",
+                            max_bucket_size: int | None = None) -> DataFrame:
+    """Distinct candidate pairs from simhash bit-slice buckets.  With
+    n_bands > hamming_threshold this has recall 1.0 for true Hamming dups."""
+    from lsh_search_go_spark.operators.bands import candidate_pairs, explode_bands
+
+    banded = df.withColumn("__sbands", simhash_band_hashes(sim_col, cfg, n_bands))
+    buckets = explode_bands(banded, id_col, "__sbands")
+    return candidate_pairs(buckets, id_col, max_bucket_size)
 
 
 # ---------------------------------------------------------------------------

@@ -138,14 +138,18 @@ class DedupPipeline:
 
         signatures = self._run_stage("signatures", result, build_signatures)
 
-        # ---- buckets: (band_id, band_hash, doc_id), partitioned by band_id
+        # ---- buckets: (band_id, band_hash, doc_id).
+        # NOT partitionBy("band_id"): the batch pair join reads every band, so
+        # a band-directory layout buys no pruning here while multiplying file
+        # counts (tasks × bands small files — measured 3× slower at 32 cores).
+        # A query-serving deployment that probes selective buckets would add
+        # partitioning/bucketing on (band_id, band_hash) at that sink instead.
         def build_buckets():
             return explode_bands(
                 signatures.filter(F.size("shingles") > 0), cfg.id_col, "bands"
             )
 
-        buckets = self._run_stage("buckets", result, build_buckets,
-                                  partition_by=["band_id"])
+        buckets = self._run_stage("buckets", result, build_buckets)
 
         # ---- pairs: candidates → exact-Jaccard verify (inclusive threshold)
         def build_pairs():

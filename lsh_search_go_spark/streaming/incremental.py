@@ -1,0 +1,81 @@
+"""Incremental (streaming) index maintenance.
+
+The reference is strictly batch (Train rebuilds the world,
+/root/reference/lsh/lsh.go:107-136); at corpus scale re-hashing everything per
+drop is not viable.  This module keeps the signature/bucket tables current as
+new code files arrive, via Structured Streaming over a directory source:
+
+    new files → (same shingle/minhash/simhash UDFs) → append signatures
+    + exploded buckets, exactly-once per micro-batch via foreachBatch.
+
+Candidate pairing/clustering stay batch jobs over the maintained tables —
+LSH bucketing is what makes that incremental-friendly: a new document only
+ever pairs with members of the buckets it lands in, so the periodic pair job
+can filter to buckets touched since the last checkpoint (the ``_ingested_at``
+watermark column).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark.config import DedupConfig
+from lsh_search_go_spark.functions import hashing as H
+from lsh_search_go_spark.functions.shingles import with_shingles
+from lsh_search_go_spark.functions.simhash import with_simhash
+from lsh_search_go_spark.operators.bands import explode_bands
+
+CODE_FILES_SCHEMA = ("repo string, path string, commit string, "
+                     "lang string, content string")
+
+
+def _transform_batch(batch: DataFrame, cfg: DedupConfig, impl: str) -> DataFrame:
+    df = batch
+    if cfg.id_col not in df.columns:
+        df = df.withColumn(
+            cfg.id_col, F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256)
+        )
+    df = df.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
+    df = with_shingles(df, cfg, impl)
+    df = H.with_minhash_bands(df, cfg, impl)
+    df = with_simhash(df, cfg, impl)
+    return df.select(cfg.id_col, "content_sha", "shingles", "minhash",
+                     "bands", "simhash",
+                     F.current_timestamp().alias("_ingested_at"))
+
+
+def start_incremental_ingest(spark: SparkSession, source_dir: str, out_dir: str,
+                             cfg: DedupConfig, impl: str = "pandas",
+                             checkpoint_dir: str | None = None,
+                             max_files_per_trigger: int = 64):
+    """Start the streaming query.  Returns the StreamingQuery handle; callers
+    use ``processAllAvailable()`` in tests / ``awaitTermination()`` in prod.
+
+    Sinks: ``{out_dir}/signatures`` and ``{out_dir}/buckets`` (parquet,
+    append).  foreachBatch writes both tables in one epoch."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    stream = (
+        spark.readStream.schema(CODE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        out = _transform_batch(batch, cfg, impl).persist()
+        try:
+            out.write.mode("append").parquet(os.path.join(out_dir, "signatures"))
+            explode_bands(out.filter(F.size("shingles") > 0), cfg.id_col, "bands") \
+                .write.mode("append").parquet(os.path.join(out_dir, "buckets"))
+        finally:
+            out.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,128 @@
+"""Tests for stats/scaler (A1-A4), lang-ID, multimodal plumbing, streaming
+incremental ingest."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark import synth
+from lsh_search_go_spark.config import DedupConfig
+from lsh_search_go_spark.functions import stats as ST
+from lsh_search_go_spark.functions.langid import lang_id
+from lsh_search_go_spark.functions import multimodal as MM
+
+
+def test_dim_stats_exact_values(spark):
+    """Mirrors TestStats' intent (lsh_test.go:151-213) with exact assertions:
+    mean and MAD (the reference's 'std' quirk, helpers.go:44-80) computed
+    distributed must equal numpy's."""
+    rng = np.random.default_rng(1)
+    X = rng.normal(loc=3.0, scale=2.0, size=(500, 6))
+    df = spark.createDataFrame([(v.tolist(),) for v in X], "vec array<double>")
+    got = {r.dim: r for r in ST.dim_stats(df, "vec").collect()}
+    for d in range(6):
+        np.testing.assert_allclose(got[d].mean, X[:, d].mean(), rtol=1e-9)
+        np.testing.assert_allclose(
+            got[d].mad, np.abs(X[:, d] - X[:, d].mean()).mean(), rtol=1e-9
+        )
+        np.testing.assert_allclose(got[d].stddev, X[:, d].std(), rtol=1e-9)
+
+
+def test_vector_range(spark):
+    df = spark.createDataFrame([([1.0, -7.5],), ([3.0, 2.0],)], "vec array<double>")
+    row = ST.vector_range(df, "vec").collect()[0]
+    assert row.vmin == -7.5 and row.vmax == 3.0
+
+
+def test_scaler_and_fallback(spark):
+    """Scaler semantics incl. the nil/mismatch fallback
+    (helpers.go:158-171: mean=0, std=1)."""
+    df = spark.createDataFrame([([2.0, 4.0],), ([4.0, 8.0],)], "vec array<double>")
+    got = ST.scale_vectors(df, np.array([2.0, 4.0]), np.array([2.0, 4.0]), 2) \
+        .select("scaled").collect()
+    assert got[0].scaled == [0.0, 0.0]
+    assert got[1].scaled == [1.0, 1.0]
+    # fallback: wrong-size mean/std → identity transform
+    fb = ST.scale_vectors(df, np.array([1.0]), None, 2).select("scaled").collect()
+    assert fb[0].scaled == [2.0, 4.0]
+    # zero std → treated as 1
+    z = ST.scale_vectors(df, np.zeros(2), np.zeros(2), 2).select("scaled").collect()
+    assert z[0].scaled == [2.0, 4.0]
+
+
+def test_lang_id_on_synth_corpus(spark):
+    cfg = DedupConfig(strip_comments=True)
+    src = synth.to_spark_df(spark, synth.generate(n_files=150, seed=11))
+    pred = lang_id(src, cfg)
+    agg = pred.select(
+        (F.col("lang_pred") == F.col("lang")).cast("int").alias("hit")
+    ).agg(F.avg("hit")).collect()[0][0]
+    # path-extension evidence makes this exact on the synth corpus
+    assert agg >= 0.99, f"lang-id accuracy {agg}"
+    # keyword-only path (no extension evidence) still does well
+    kw_only = lang_id(src.drop("path"), cfg)
+    acc = kw_only.select(
+        (F.col("lang_pred") == F.col("lang")).cast("int").alias("hit")
+    ).agg(F.avg("hit")).collect()[0][0]
+    assert acc >= 0.6, f"keyword-only lang-id accuracy {acc}"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = MM.synth_media(spark, n=48)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50  # 48 + 2 planted dups
+    for r in rows:
+        assert len(r.feature) == MM.FEATURE_DIM
+        assert r.n_bytes > 0
+    by_id = {r.media_id: list(r.feature) for r in rows}
+    # identical payloads → identical features regardless of kind
+    assert by_id["dup_a"] == by_id["m0"]
+    assert by_id["dup_b"] == by_id["m1"]
+    # real decoder is stubbed: must raise, not silently fake
+    with pytest.raises(NotImplementedError):
+        MM.real_decode(b"x", "image")
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    """Drop two file batches into the source dir; the streaming query must
+    append signatures+buckets that exactly match the batch pipeline's for the
+    same rows (exactly-once per epoch via foreachBatch + checkpoint)."""
+    from lsh_search_go_spark.functions import hashing as H
+    from lsh_search_go_spark.functions.shingles import with_shingles
+    from lsh_search_go_spark.streaming.incremental import start_incremental_ingest
+
+    cfg = DedupConfig(strip_comments=True)
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "index")
+    os.makedirs(src_dir)
+
+    c1 = synth.generate(n_files=40, seed=21)
+    c2 = synth.generate(n_files=30, seed=22)
+    synth.to_parquet(c1, os.path.join(src_dir, "drop1.parquet"))
+
+    q = start_incremental_ingest(spark, src_dir, out_dir, cfg, impl="pandas")
+    q.awaitTermination(120)
+
+    synth.to_parquet(c2, os.path.join(src_dir, "drop2.parquet"))
+    q2 = start_incremental_ingest(spark, src_dir, out_dir, cfg, impl="pandas")
+    q2.awaitTermination(120)
+
+    sigs = spark.read.parquet(os.path.join(out_dir, "signatures"))
+    assert sigs.count() == 70
+    assert sigs.select("doc_id").distinct().count() == 70
+
+    # signature parity with the batch path for drop1's rows
+    batch = with_shingles(
+        synth.to_spark_df(spark, c1), cfg, "pandas"
+    )
+    batch = H.with_minhash_bands(batch, cfg, "pandas")
+    exp = {r.doc_id: list(r.minhash) for r in batch.select("doc_id", "minhash").collect()}
+    got = {r.doc_id: list(r.minhash)
+           for r in sigs.select("doc_id", "minhash").collect() if r.doc_id in exp}
+    assert got == exp
+
+    buckets = spark.read.parquet(os.path.join(out_dir, "buckets"))
+    assert buckets.count() == 70 * cfg.num_bands
