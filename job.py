@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the dedup pipeline.
+
+Usage (cluster)::
+
+    zip -r lsh_search_go_spark.zip lsh_search_go_spark
+    spark-submit --py-files lsh_search_go_spark.zip job.py \
+        --input  <parquet/iceberg path or table of code_files> \
+        --workdir <checkpoint/output root> \
+        [--impl pandas] [--no-substring] [--threshold 0.7] [--seed 42]
+
+Local smoke::
+
+    python job.py --input /tmp/code_files.parquet --workdir /tmp/dedup_run
+
+The input must carry (repo, path, commit, lang, content) — BASELINE.json's
+``input_hint`` shape — or a precomputed ``doc_id`` + ``content`` pair.
+Outputs land under ``<workdir>/<config_hash>/``: signatures, buckets, pairs,
+substring, clusters (+ lineage/, dropped_buckets, manifest.json).  Re-running
+with the same config resumes from completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--impl", default="pandas", choices=["pandas", "sql"])
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--num-bands", type=int, default=32)
+    ap.add_argument("--strip-comments", action="store_true", default=True)
+    ap.add_argument("--no-substring", action="store_true")
+    ap.add_argument("--master", default=None,
+                    help="override master for local runs (spark-submit sets it otherwise)")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("lsh_search_go_spark-dedup")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from lsh_search_go_spark.config import DedupConfig
+    from lsh_search_go_spark.pipeline import DedupPipeline
+    from lsh_search_go_spark.sources.io import read_table
+
+    cfg = DedupConfig(
+        seed=args.seed,
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        num_bands=args.num_bands,
+        rows_per_band=args.num_perm // args.num_bands,
+        jaccard_threshold=args.threshold,
+        strip_comments=args.strip_comments,
+    )
+    source = read_table(spark, args.input)
+    pipe = DedupPipeline(spark, cfg, args.workdir, impl=args.impl)
+    result = pipe.run(source, with_substring=not args.no_substring)
+    print(json.dumps({
+        "workdir": result.workdir,
+        "stages": [{"name": s.name, "rows": s.rows,
+                    "seconds": round(s.seconds, 2), "resumed": s.resumed}
+                   for s in result.stages],
+        "total_seconds": round(result.total_seconds, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,32 @@ def q_ann_topk_bruteforce(spark, sf_dir):
                       F.round("dist", 9).alias("dist_r"))
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the reference's Train+Search path) on embeddings.
+    No SQL oracle: the forest depends on seeded numpy sampling DuckDB cannot
+    reproduce — rows-only gate; exact-recall coverage lives in
+    tests/test_ann.py::test_mixture_recall_vs_bruteforce."""
+    from lsh_search_go_spark.config import AnnConfig
+    from lsh_search_go_spark.operators import ann
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    ).persist()
+    n = emb.count()
+    acfg = AnnConfig(n_trees=10, k_min_vecs=max(25, n // 50), dims=64,
+                     is_angular=True, seed=42, sample_size=20000)
+    model = ann.fit_from_df(emb, acfg, "vec")
+    buckets = ann.build_buckets(emb, model, "id", "vec")
+    queries = emb.filter(F.col("id") < ANN_N_QUERIES).select(
+        F.col("id").alias("query_id"), "vec"
+    )
+    out = ann.search(queries, buckets, emb, model, k=ANN_K, max_dist=2.0,
+                     metric="cosine")
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("dist", 9).alias("dist_r"))
+
+
 def q_embedding_neardup_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"),
                                      F.col("embedding").alias("vec"))
@@ -431,5 +457,6 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _longify(q_simhash_dup_pairs),
         "substring_containment": _longify(q_substring_containment),
         "ann_topk_bruteforce": _longify(q_ann_topk_bruteforce),
+        "ann_lsh_topk": _longify(q_ann_lsh_topk),  # rows-only: no oracle entry
         "embedding_neardup_pairs": _longify(q_embedding_neardup_pairs),
     }

@@ -65,15 +65,49 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return (row["n"] or 0, row["h"] or 0)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _driver_cc(edges: DataFrame) -> DataFrame:
+    """Union-find on the driver for small edge sets.  Scale-adaptive: dup-pair
+    edge lists are usually tiny relative to the corpus (most docs are
+    singletons), and a driver pass avoids ~2 Spark jobs per star round — the
+    same kind of runtime size-based decision AQE makes for joins.  The
+    distributed star path remains the >threshold route and is force-tested."""
+    rows = edges.select("src_id", "dst_id").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r.src_id), find(r.dst_id)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    nodes = {x for r in rows for x in (r.src_id, r.dst_id)}
+    spark = edges.sparkSession
+    out = [(n, find(n)) for n in sorted(nodes)]
+    schema_t = dict(edges.dtypes)["src_id"]
+    return spark.createDataFrame(out, f"doc_id {schema_t}, cluster_id {schema_t}")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         driver_threshold: int = 2_000_000) -> DataFrame:
     """edges(src_id, dst_id) → labels(doc_id, cluster_id), only for nodes that
-    appear in edges.  Callers union in singletons (see ``assign_clusters``)."""
+    appear in edges.  Callers union in singletons (see ``assign_clusters``).
+
+    Edge sets at or below ``driver_threshold`` rows run a driver-side
+    union-find; larger ones run distributed large-star/small-star rounds."""
     if not edges.take(1):
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id string, cluster_id string").select(
             F.col("doc_id").cast(dict(edges.dtypes)["src_id"]),
             F.col("cluster_id").cast(dict(edges.dtypes)["src_id"]),
         )
+    if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
+        return _driver_cc(edges)
     e = edges.select("src_id", "dst_id").distinct().localCheckpoint()
     prev = None
     for _ in range(max_iter):
@@ -93,10 +127,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 def assign_clusters(all_docs: DataFrame, edges: DataFrame,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    driver_threshold: int = 2_000_000) -> DataFrame:
     """Full assignment (doc_id, cluster_id): component min for connected docs,
     self for singletons."""
-    labels = connected_components(edges)
+    labels = connected_components(edges, driver_threshold=driver_threshold)
     ids = all_docs.select(F.col(id_col).alias("doc_id")).distinct()
     return (
         ids.join(labels, "doc_id", "left")

@@ -92,8 +92,13 @@ class DedupPipeline:
         df = build()
         write_table(df, path, partition_by=partition_by)
         out = read_table(self.spark, path)
-        rows = out.count()
-        lineage = partition_lineage(out, name)
+        # one scan serves both bookkeeping outputs: per-partition lineage rows
+        # (collected — it's one row per partition) and the stage row count.
+        lineage_rows = partition_lineage(out, name).collect()
+        rows = sum(r["rows"] for r in lineage_rows)
+        lineage = self.spark.createDataFrame(
+            lineage_rows, "stage string, partition_id int, rows long"
+        )
         write_table(lineage, os.path.join(self.root, "lineage", name))
         result.stages.append(StageResult(name, path, rows,
                                          time.time() - t0, resumed=False))
