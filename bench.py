@@ -45,6 +45,8 @@ def make_session(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # single ~100MB input parquet must split across all cores
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .getOrCreate()
     )
 

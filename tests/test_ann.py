@@ -71,6 +71,20 @@ def test_cosine_and_l2_edge_semantics(spark):
         assert abs(r.d - r.exp) < 1e-12
 
 
+def test_angular_cosine_conversions(spark):
+    """D5 (/root/reference/lsh/helpers.go:240-246): a²/2 and sqrt(2c) are
+    mutual inverses on [0, 2]."""
+    from lsh_search_go_spark.functions.vector import (angular_to_cosine_dist,
+                                                      cosine_dist_to_angular)
+
+    df = spark.createDataFrame([(0.0,), (0.5,), (1.0,), (2.0,)], "a double")
+    rows = df.withColumn("c", angular_to_cosine_dist("a")) \
+             .withColumn("back", cosine_dist_to_angular("c")).collect()
+    for r in rows:
+        assert abs(r.c - r.a * r.a / 2) < 1e-12
+        assert abs(r.back - r.a) < 1e-12
+
+
 def test_model_dump_load_roundtrip(tmp_path):
     """TestDumpHasher (lsh_test.go:108-136): serialize → deserialize preserves
     plane coefficients; hashes identical after reload."""
