@@ -88,11 +88,11 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
     # 1. exact dedup (hash groupBy)
     timed("exact_dedup", lambda: exact_dup_groups(docs, "doc_id", "content").count())
 
-    # 2. signature build — the production Arrow/pandas path
+    # 2. signature build — the production fused Arrow path
+    from lsh_search_go_spark.functions.signatures import with_signatures_fused
+
     def build_sigs():
-        sh = with_shingles(docs, cfg, "pandas")
-        sh = H.with_minhash_bands(sh, cfg, "pandas")
-        sh = with_simhash(sh, cfg, "pandas")
+        sh = with_signatures_fused(docs, cfg)
         return sh.persist(), sh.count()
 
     sigs, _ = timed("signatures_pandas", build_sigs)

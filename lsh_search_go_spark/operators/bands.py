@@ -44,24 +44,55 @@ def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
-                    max_bucket_size: int | None = None) -> DataFrame:
+                    max_bucket_size: int | None = None,
+                    strategy: str = "groupby") -> DataFrame:
     """Distinct canonical candidate pairs (src_id < dst_id) from bucket
-    co-membership.  One shuffle on (band_id, band_hash) for the self-join,
-    one for the distinct — both AQE-coalesced."""
+    co-membership.
+
+    strategy="groupby" (default): ONE shuffle — groupBy bucket key,
+    collect the member list, apply the size cap on the aggregated row, expand
+    within-bucket pairs with nested transforms, then the distinct.  The cap is
+    what bounds the n²/2 expansion per bucket (reference ``maxCandidates``
+    analog done deterministically — SURVEY §7.0).
+
+    strategy="join": classic self-join on the bucket key (+ a size-filter
+    join when capped) — 3-4 shuffles of the wide bucket relation.  Kept for
+    comparison; the groupby strategy shuffles the bucket table once.
+    """
+    if strategy == "join":
+        if max_bucket_size is not None:
+            sizes = buckets.groupBy("band_id", "band_hash").agg(
+                F.count(F.lit(1)).alias("bucket_size")
+            )
+            buckets = (
+                buckets.join(sizes, ["band_id", "band_hash"])
+                .filter(F.col("bucket_size") <= max_bucket_size)
+                .drop("bucket_size")
+            )
+        left = buckets.select("band_id", "band_hash", F.col(id_col).alias("src_id"))
+        right = buckets.select("band_id", "band_hash", F.col(id_col).alias("dst_id"))
+        return (
+            left.join(right, ["band_id", "band_hash"])
+            .filter(F.col("src_id") < F.col("dst_id"))
+            .select("src_id", "dst_id")
+            .dropDuplicates(["src_id", "dst_id"])
+        )
+    if strategy != "groupby":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    grouped = buckets.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band_id", "band_hash").agg(
-            F.count(F.lit(1)).alias("bucket_size")
-        )
-        buckets = (
-            buckets.join(sizes, ["band_id", "band_hash"])
-            .filter(F.col("bucket_size") <= max_bucket_size)
-            .drop("bucket_size")
-        )
-    left = buckets.select("band_id", "band_hash", F.col(id_col).alias("src_id"))
-    right = buckets.select("band_id", "band_hash", F.col(id_col).alias("dst_id"))
+        grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
+    grouped = grouped.filter(F.size("__ids") >= 2)
+    pair_expr = (
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+        "y -> named_struct('src_id', x, 'dst_id', y))))"
+    )
     return (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("src_id") < F.col("dst_id"))
-        .select("src_id", "dst_id")
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src_id", "p.dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )

@@ -133,11 +133,20 @@ class DedupPipeline:
 
         ingest = self._run_stage("ingest", result, build_ingest)
 
-        # ---- signatures: shingles + minhash sig + band hashes + simhash
+        # ---- signatures: shingles + minhash sig + band hashes + simhash.
+        # pandas impl runs ONE fused Arrow UDF (separate chained UDFs get
+        # nested by Spark and re-run shingling per consumer — see
+        # functions/signatures.py).
         def build_signatures():
-            df = with_shingles(ingest, cfg, self.impl)
-            df = H.with_minhash_bands(df, cfg, self.impl)
-            df = with_simhash(df, cfg, self.impl)
+            if self.impl == "pandas":
+                from lsh_search_go_spark.functions.signatures import (
+                    with_signatures_fused,
+                )
+                df = with_signatures_fused(ingest, cfg)
+            else:
+                df = with_shingles(ingest, cfg, self.impl)
+                df = H.with_minhash_bands(df, cfg, self.impl)
+                df = with_simhash(df, cfg, self.impl)
             return df.select(cfg.id_col, "content_sha", "content_bytes",
                              "shingles", "minhash", "bands", "simhash")
 

@@ -128,6 +128,37 @@ def test_simhash_three_way_and_hamming(spark, docs):
         assert all(0 <= w < (1 << 32) for w in words)
 
 
+def test_fused_matches_composed(spark, docs):
+    """The fused single-UDF signature kernel must equal the composed
+    (oracle-gated) per-step definitions column-for-column."""
+    from lsh_search_go_spark.functions.signatures import with_signatures_fused
+
+    a, b = CFG.minhash_params
+    composed = (
+        S.with_shingles(docs, CFG, "sql")
+        .withColumn("minhash", H.minhash_signature("shingles", a, b))
+        .withColumn("bands", H.banded_hashes("minhash", CFG.num_bands,
+                                             CFG.rows_per_band))
+        .persist()
+    )
+    composed = SH.with_simhash(composed, CFG, "sql")
+    fused = with_signatures_fused(docs, CFG)
+    cols = ["shingles", "minhash", "bands", "simhash"]
+    comp = {r.doc_id: [list(r[c]) for c in cols]
+            for r in composed.select("doc_id", *cols).collect()}
+    fus = {r.doc_id: [list(r[c]) for c in cols]
+           for r in fused.select("doc_id", *cols).collect()}
+    # empty-shingle docs: composed SQL minhash yields sentinel-free values on
+    # empty arrays? both paths emit the same; compare only non-empty docs for
+    # minhash/bands, everything for shingles/simhash
+    for d in comp:
+        assert comp[d][0] == fus[d][0], f"shingles differ for {d}"
+        assert comp[d][3] == fus[d][3], f"simhash differ for {d}"
+        if comp[d][0]:
+            assert comp[d][1] == fus[d][1], f"minhash differ for {d}"
+            assert comp[d][2] == fus[d][2], f"bands differ for {d}"
+
+
 def test_banded_hashes_three_way(spark, docs):
     a, b = CFG.minhash_params
     shingled = S.with_shingles(docs, CFG, "sql").filter("size(shingles) > 0")
