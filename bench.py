@@ -51,6 +51,40 @@ def make_session(cpus: int):
     )
 
 
+def run_pipeline_only(spark, cpus: int) -> dict:
+    """Just the full pipeline on the pre-materialized synth corpus — the
+    scaling-matrix payload."""
+    from lsh_search_go_spark import synth
+    from lsh_search_go_spark.config import DedupConfig
+    from lsh_search_go_spark.pipeline import DedupPipeline
+
+    workdir = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        src_parquet = os.environ.get("SPARK_GRAFT_SYNTH_PARQUET")
+        if not src_parquet:
+            src_parquet = os.path.join(workdir, "code_files.parquet")
+            synth.to_parquet(synth.generate(n_files=SYNTH_FILES, seed=42), src_parquet)
+        src = spark.read.parquet(src_parquet)
+        n_files = src.count()
+        pcfg = DedupConfig(strip_comments=True)
+        t0 = time.time()
+        pipe = DedupPipeline(spark, pcfg, workdir, impl="pandas",
+                             target_partitions=max(cpus, 8))
+        pres = pipe.run(src, with_substring=True)
+        dt = time.time() - t0
+        return {
+            "timings": {"pipeline_full_synth": round(dt, 3)},
+            "extra": {
+                "pipeline_stage_secs": {s.name: round(s.seconds, 2)
+                                        for s in pres.stages},
+                "synth_files": n_files,
+                "files_per_sec": round(n_files / dt, 2),
+            },
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def run_headline(spark, sf_dir: str, cpus: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -174,6 +208,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -184,7 +219,10 @@ def main() -> None:
     spark = make_session(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    res = run_headline(spark, args.sf_dir, args.cpus)
+    if args.pipeline_only:
+        res = run_pipeline_only(spark, args.cpus)
+    else:
+        res = run_headline(spark, args.sf_dir, args.cpus)
     total = round(time.time() - t0, 3)
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
     line = {

@@ -178,6 +178,9 @@ class DedupPipeline:
         # ---- substring containment (suffix-array slot)
         if with_substring:
             def build_substring():
+                if {"norm_text", "first_sh", "last_sh"} <= set(signatures.columns):
+                    # fused path: everything needed is already in signatures
+                    return substring_pairs(signatures, cfg)
                 return substring_pairs(
                     ingest.join(signatures.select(cfg.id_col, "shingles"), cfg.id_col),
                     cfg,
