@@ -80,11 +80,17 @@ def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
     if strategy != "groupby":
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    if max_bucket_size is not None:
+        # anti-join the (tiny by construction) oversized-bucket set BEFORE
+        # collect_list — a degenerate bucket must never materialize as one
+        # giant array in a single aggregation buffer.
+        big = oversized_buckets(buckets, max_bucket_size) \
+            .select("band_id", "band_hash")
+        buckets = buckets.join(F.broadcast(big), ["band_id", "band_hash"],
+                               "left_anti")
     grouped = buckets.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list(id_col)).alias("__ids")
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
     grouped = grouped.filter(F.size("__ids") >= 2)
     pair_expr = (
         "flatten(transform(__ids, (x, i) -> "

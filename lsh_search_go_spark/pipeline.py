@@ -106,64 +106,81 @@ class DedupPipeline:
         return out
 
     # ------------------------------------------------------------------
-    def run(self, source: DataFrame, with_substring: bool = True) -> PipelineResult:
+    def _prepare_source(self, source: DataFrame) -> DataFrame:
+        """id + invariant sha + size-aware salted partitioning (no write)."""
+        cfg = self.cfg
+        df = source
+        if cfg.id_col not in df.columns:
+            df = df.withColumn(
+                cfg.id_col,
+                F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256),
+            )
+        df = df.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
+        df = df.withColumn("content_bytes", F.length(cfg.content_col))
+        # size-aware salt: docs land in partitions by id hash; giant docs
+        # get their own salt stratum so no Arrow batch blows up.
+        df = df.withColumn(
+            "__salt",
+            F.when(F.col("content_bytes") > 256 * 1024,
+                   F.xxhash64(cfg.id_col) % (self.target_partitions * 4))
+            .otherwise(F.xxhash64(cfg.id_col) % self.target_partitions),
+        )
+        return df.repartition(self.target_partitions, "__salt").drop("__salt")
+
+    def run(self, source: DataFrame, with_substring: bool = True,
+            materialize_ingest: bool | None = None,
+            materialize_buckets: bool = False) -> PipelineResult:
+        """``materialize_ingest``/``materialize_buckets`` write those relations
+        as their own checkpointed stages.  Default: OFF for the fused pandas
+        path — both are derivable in the signatures pass, and at bench scale
+        each extra write+read+bookkeeping cycle is pure serial overhead
+        (~10s/stage that no amount of cores removes).  The SQL impl keeps an
+        ingest stage (its signature exprs would otherwise recompute sha/salt
+        per column reference)."""
         cfg = self.cfg
         result = PipelineResult(workdir=self.root)
-        a, b = cfg.minhash_params
+        if materialize_ingest is None:
+            materialize_ingest = self.impl != "pandas"
 
-        # ---- ingest: id + invariant sha + size-aware salted partitioning
-        def build_ingest():
-            df = source
-            if cfg.id_col not in df.columns:
-                df = df.withColumn(
-                    cfg.id_col,
-                    F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256),
-                )
-            df = df.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
-            df = df.withColumn("content_bytes", F.length(cfg.content_col))
-            # size-aware salt: docs land in partitions by id hash; giant docs
-            # get their own salt stratum so no Arrow batch blows up.
-            df = df.withColumn(
-                "__salt",
-                F.when(F.col("content_bytes") > 256 * 1024,
-                       F.xxhash64(cfg.id_col) % (self.target_partitions * 4))
-                .otherwise(F.xxhash64(cfg.id_col) % self.target_partitions),
-            )
-            return df.repartition(self.target_partitions, "__salt").drop("__salt")
+        if materialize_ingest:
+            ingest = self._run_stage("ingest", result,
+                                     lambda: self._prepare_source(source))
+        else:
+            ingest = self._prepare_source(source)
 
-        ingest = self._run_stage("ingest", result, build_ingest)
-
-        # ---- signatures: shingles + minhash sig + band hashes + simhash.
-        # pandas impl runs ONE fused Arrow UDF (separate chained UDFs get
-        # nested by Spark and re-run shingling per consumer — see
-        # functions/signatures.py).
+        # ---- signatures: shingles + minhash + bands + simhash (+ the
+        # substring-pass inputs).  pandas impl runs ONE fused Arrow UDF
+        # (separate chained UDFs get nested by Spark and re-run shingling per
+        # consumer — see functions/signatures.py).
         def build_signatures():
             if self.impl == "pandas":
                 from lsh_search_go_spark.functions.signatures import (
                     with_signatures_fused,
                 )
                 df = with_signatures_fused(ingest, cfg)
+                extra = ["norm_text", "first_sh", "last_sh"]
             else:
                 df = with_shingles(ingest, cfg, self.impl)
                 df = H.with_minhash_bands(df, cfg, self.impl)
                 df = with_simhash(df, cfg, self.impl)
+                extra = []
             return df.select(cfg.id_col, "content_sha", "content_bytes",
-                             "shingles", "minhash", "bands", "simhash")
+                             "shingles", "minhash", "bands", "simhash", *extra)
 
         signatures = self._run_stage("signatures", result, build_signatures)
 
-        # ---- buckets: (band_id, band_hash, doc_id).
-        # NOT partitionBy("band_id"): the batch pair join reads every band, so
-        # a band-directory layout buys no pruning here while multiplying file
-        # counts (tasks × bands small files — measured 3× slower at 32 cores).
-        # A query-serving deployment that probes selective buckets would add
-        # partitioning/bucketing on (band_id, band_hash) at that sink instead.
-        def build_buckets():
+        # ---- buckets: (band_id, band_hash, doc_id) — derived view by
+        # default; materialized only for serving deployments (which would add
+        # (band_id, band_hash) bucketing at this sink for probe pruning).
+        def make_buckets():
             return explode_bands(
                 signatures.filter(F.size("shingles") > 0), cfg.id_col, "bands"
             )
 
-        buckets = self._run_stage("buckets", result, build_buckets)
+        if materialize_buckets:
+            buckets = self._run_stage("buckets", result, make_buckets)
+        else:
+            buckets = make_buckets()
 
         # ---- pairs: candidates → exact-Jaccard verify (inclusive threshold)
         def build_pairs():
@@ -187,9 +204,10 @@ class DedupPipeline:
                 )
             self._run_stage("substring", result, build_substring)
 
-        # ---- clusters: CC over verified dup edges
+        # ---- clusters: CC over verified dup edges (signatures carries every
+        # doc_id, so singletons never need the raw source again)
         def build_clusters():
-            return assign_clusters(ingest, pairs, cfg.id_col)
+            return assign_clusters(signatures, pairs, cfg.id_col)
 
         self._run_stage("clusters", result, build_clusters)
 

@@ -75,7 +75,7 @@ def test_content_sha_invariant(spark, run, corpus):
     _, result = run
     got = {
         r.doc_id: r.content_sha
-        for r in spark.read.parquet(result.tables["ingest"])
+        for r in spark.read.parquet(result.tables["signatures"])
         .select("doc_id", "content_sha").collect()
     }
     assert len(got) == len(corpus.rows)
