@@ -248,63 +248,71 @@ def run_scaling(args) -> None:
     (files_per_sec@32 / files_per_sec@8) / 4."""
     from lsh_search_go_spark import synth
 
-    n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "50000"))
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "100000"))
+    legs = [int(x) for x in
+            os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(",")]
+    n_lo, n_hi = min(legs), max(legs)
+    factor = n_hi / n_lo
     shared = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{n_files}.parquet")
     if not os.path.exists(shared):
         synth.to_parquet(synth.generate(n_files=n_files, seed=42), shared)
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_lo, n_hi):
         out = os.path.join(tempfile.gettempdir(), f"bench_scaling_{cpus}.json")
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_SYNTH_PARQUET=shared)
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-             "--sf-dir", args.sf_dir, "--json-out", out],
+             "--sf-dir", args.sf_dir, "--pipeline-only", "--json-out", out],
             check=True, env=env,
         )
         with open(out) as f:
             results[cpus] = json.loads(f.read())
-    f8 = results[8]["files_per_sec"]
-    f32 = results[32]["files_per_sec"]
-    eff = round((f32 / f8) / 4.0, 3)
+    f_lo = results[n_lo]["files_per_sec"]
+    f_hi = results[n_hi]["files_per_sec"]
+    eff = round((f_hi / f_lo) / factor, 3)
     report = {
-        "files_per_sec_local8": f8,
-        "files_per_sec_local32": f32,
-        "scaling_efficiency_8_to_32": eff,
-        "pipeline_secs_local8": results[8]["queries"]["pipeline_full_synth"],
-        "pipeline_secs_local32": results[32]["queries"]["pipeline_full_synth"],
-        "synth_files": results[8]["synth_files"],
+        "legs": [n_lo, n_hi],
+        f"files_per_sec_local{n_lo}": f_lo,
+        f"files_per_sec_local{n_hi}": f_hi,
+        "scaling_efficiency": eff,
+        f"pipeline_secs_local{n_lo}": results[n_lo]["queries"]["pipeline_full_synth"],
+        f"pipeline_secs_local{n_hi}": results[n_hi]["queries"]["pipeline_full_synth"],
+        "synth_files": results[n_lo]["synth_files"],
     }
     print(json.dumps(report))
     with open("BENCH.md", "w") as f:
-        f.write(render_bench_md(results, report))
+        f.write(render_bench_md(results, report, n_lo, n_hi, factor))
 
 
-def render_bench_md(results: dict, report: dict) -> str:
+def render_bench_md(results: dict, report: dict, n_lo: int, n_hi: int,
+                    factor: float) -> str:
     lines = [
         "# BENCH — measured numbers (this sandbox: single JVM, local mode)",
         "",
-        "## Scaling evidence (N vs 4N parallelism)",
+        f"## Scaling evidence (N vs {factor:g}N parallelism)",
         "",
         "No real cluster in the sandbox (BASELINE.md): the identical pipeline job",
-        "runs at `local[8]` and `local[32]` on the same input; efficiency =",
-        "`(files_per_sec@32 / files_per_sec@8) / 4`.",
+        f"runs at `local[{n_lo}]` and `local[{n_hi}]` on the same input; efficiency =",
+        f"`(files_per_sec@{n_hi} / files_per_sec@{n_lo}) / {factor:g}`.",
         "",
         "| parallelism | pipeline wall s | files/sec |",
         "|---|---|---|",
-        f"| local[8]  | {report['pipeline_secs_local8']} | {report['files_per_sec_local8']} |",
-        f"| local[32] | {report['pipeline_secs_local32']} | {report['files_per_sec_local32']} |",
+        f"| local[{n_lo}]  | {report[f'pipeline_secs_local{n_lo}']} | {report[f'files_per_sec_local{n_lo}']} |",
+        f"| local[{n_hi}] | {report[f'pipeline_secs_local{n_hi}']} | {report[f'files_per_sec_local{n_hi}']} |",
         "",
-        f"**Scaling efficiency 8→32: {report['scaling_efficiency_8_to_32']}** "
+        f"**Scaling efficiency {n_lo}→{n_hi}: {report['scaling_efficiency']}** "
         f"(target ≥ 0.8) on {report['synth_files']} synthetic code files.",
         "",
-        "## Per-query timings (local[32])",
+        f"## Pipeline stage timings",
         "",
-        "| query | seconds |",
-        "|---|---|",
+        "| stage | local[{}] s | local[{}] s |".format(n_lo, n_hi),
+        "|---|---|---|",
     ]
-    for q, s in results[32]["queries"].items():
-        lines.append(f"| {q} | {s} |")
+    stages_lo = results[n_lo]["pipeline_stage_secs"]
+    stages_hi = results[n_hi]["pipeline_stage_secs"]
+    for st in stages_lo:
+        lines.append(f"| {st} | {stages_lo[st]} | {stages_hi.get(st, '-')} |")
     lines.append("")
     return "\n".join(lines)
 

@@ -218,38 +218,49 @@ class DedupPipeline:
             return map_back(verified, "src_id", "dst_id",
                             ["inter", "uni", "jaccard"])
 
-        pairs = self._run_stage("pairs", result, build_pairs)
-
         # ---- substring containment (suffix-array slot)
-        if with_substring:
-            def build_substring():
-                if {"norm_text", "first_sh", "last_sh"} <= set(signatures.columns):
-                    # fused path: everything needed is in signatures; run the
-                    # joins in key space, map ids at the end (containment is
-                    # directional — no canonical reordering)
-                    kcfg = replace(cfg, id_col="doc_key")
-                    keyed = substring_pairs(signatures, kcfg)
-                    return (
-                        keyed
-                        .join(idmap.select(F.col("doc_key").alias("inner_id"),
-                                           F.col(cfg.id_col).alias("__iid")), "inner_id")
-                        .join(idmap.select(F.col("doc_key").alias("outer_id"),
-                                           F.col(cfg.id_col).alias("__oid")), "outer_id")
-                        .select(F.col("__iid").alias("inner_id"),
-                                F.col("__oid").alias("outer_id"))
-                    )
-                return substring_pairs(
-                    ingest.join(signatures.select(cfg.id_col, "shingles"), cfg.id_col),
-                    cfg,
+        def build_substring():
+            if {"norm_text", "first_sh", "last_sh"} <= set(signatures.columns):
+                # fused path: everything needed is in signatures; run the
+                # joins in key space, map ids at the end (containment is
+                # directional — no canonical reordering)
+                kcfg = replace(cfg, id_col="doc_key")
+                keyed = substring_pairs(signatures, kcfg)
+                return (
+                    keyed
+                    .join(idmap.select(F.col("doc_key").alias("inner_id"),
+                                       F.col(cfg.id_col).alias("__iid")), "inner_id")
+                    .join(idmap.select(F.col("doc_key").alias("outer_id"),
+                                       F.col(cfg.id_col).alias("__oid")), "outer_id")
+                    .select(F.col("__iid").alias("inner_id"),
+                            F.col("__oid").alias("outer_id"))
                 )
-            self._run_stage("substring", result, build_substring)
+            return substring_pairs(
+                ingest.join(signatures.select(cfg.id_col, "shingles"), cfg.id_col),
+                cfg,
+            )
 
-        # ---- clusters: CC over verified dup edges (signatures carries every
-        # doc_id, so singletons never need the raw source again)
-        def build_clusters():
-            return assign_clusters(signatures, pairs, cfg.id_col)
+        # pairs→clusters and substring are INDEPENDENT branches of the DAG
+        # below signatures: submit them as concurrent Spark jobs (threads) so
+        # latency-bound phases of one branch fill idle cores with the other —
+        # on a real cluster the scheduler does this across fair-scheduler
+        # pools; in local mode it reclaims wall-clock the same way.
+        from concurrent.futures import ThreadPoolExecutor
 
-        self._run_stage("clusters", result, build_clusters)
+        def branch_pairs_clusters():
+            pairs = self._run_stage("pairs", result, build_pairs)
+            # clusters: CC over verified dup edges (signatures carries every
+            # doc_id, so singletons never need the raw source again)
+            self._run_stage("clusters", result,
+                            lambda: assign_clusters(signatures, pairs, cfg.id_col))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(branch_pairs_clusters)]
+            if with_substring:
+                futs.append(pool.submit(
+                    lambda: self._run_stage("substring", result, build_substring)))
+            for f in futs:
+                f.result()
 
         write_manifest(self.root, cfg.config_hash, result.stages,
                        extra={"impl": self.impl})
