@@ -191,23 +191,33 @@ def _doc_tiles(counts: np.ndarray, tile: int = _TILE):
 
 
 def minhash_batch_np(shingle_lists, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Batch MinHash: sequence of per-doc shingle-hash lists → (ndocs, P)
-    signatures.  Tiled + vectorized: documents are processed in groups whose
-    flat shingle span fits L2; within a tile, loop over the P permutations
-    with in-place ops + one segmented ``np.minimum.reduceat`` each.
+    """Batch MinHash from per-doc shingle-hash lists (list-of-lists wrapper
+    around :func:`minhash_segments_np`)."""
+    ndocs = len(shingle_lists)
+    counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
+    if int(counts.sum()) == 0:
+        return np.full((ndocs, a.shape[0]), P - 1, dtype=np.int64)
+    flat = np.concatenate([np.asarray(x, dtype=np.int64)
+                           for x in shingle_lists if len(x)])
+    return minhash_segments_np(flat, counts, a, b)
+
+
+def minhash_segments_np(flat: np.ndarray, counts: np.ndarray,
+                        a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batch MinHash over segment-encoded shingles → (ndocs, P) signatures.
+    Tiled + vectorized: documents are processed in groups whose flat shingle
+    span fits L2; within a tile, loop over the P permutations with in-place
+    ops + one segmented ``np.minimum.reduceat`` each.
 
     Docs with zero shingles get an all-(P-1) sentinel row (they are filtered
     out before banding by callers; the sentinel keeps shapes rectangular).
     """
-    ndocs = len(shingle_lists)
+    ndocs = counts.shape[0]
     P_count = a.shape[0]
-    counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
     total = int(counts.sum())
     out = np.full((ndocs, P_count), P - 1, dtype=np.int64)
     if total == 0:
         return out
-    flat = np.concatenate([np.asarray(x, dtype=np.int64)
-                           for x in shingle_lists if len(x)])
     starts = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     tmp = np.empty(min(total, _TILE * 2), dtype=np.int64)

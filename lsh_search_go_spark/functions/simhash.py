@@ -102,21 +102,29 @@ def simhash_np(shingles: np.ndarray, cfg: DedupConfig) -> np.ndarray:
 
 
 def simhash_batch(shingle_lists: pd.Series, cfg: DedupConfig) -> pd.Series:
-    """Arrow batch: Series[list[int]] → Series[list[int]] of SimHash words.
+    """Arrow batch: Series[list[int]] → Series[list[int]] of SimHash words
+    (list-of-lists wrapper around :func:`simhash_segments_np`)."""
+    ndocs = len(shingle_lists)
+    counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
+    if int(counts.sum()) == 0:
+        return pd.Series([[0] * (cfg.simhash_bits // 32)] * ndocs)
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shingle_lists if len(x)])
+    return pd.Series(simhash_segments_np(flat, counts, cfg).tolist())
 
-    Flattens the batch, computes one (nbits × total) sign matrix, segment-sums
-    with np.add.reduceat — no per-document Python in the hot loop."""
+
+def simhash_segments_np(flat: np.ndarray, counts: np.ndarray,
+                        cfg: DedupConfig) -> np.ndarray:
+    """SimHash over segment-encoded shingles → (ndocs, nwords) words.
+    Tiled segment-sums with np.add.reduceat — no per-document Python."""
     a, b = cfg.simhash_params
     an = np.asarray(a, dtype=np.int64)
     bn = np.asarray(b, dtype=np.int64)
     nbits = cfg.simhash_bits
     nwords = nbits // 32
-    ndocs = len(shingle_lists)
-    counts = np.fromiter((len(x) for x in shingle_lists), dtype=np.int64, count=ndocs)
+    ndocs = counts.shape[0]
     total = int(counts.sum())
     if total == 0:
-        return pd.Series([[0] * nwords] * ndocs)
-    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shingle_lists if len(x)])
+        return np.zeros((ndocs, nwords), dtype=np.int64)
     starts = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     # tiled over documents with an L2-resident working set per pass — see
@@ -141,8 +149,7 @@ def simhash_batch(shingle_lists: pd.Series, cfg: DedupConfig) -> pd.Series:
             sums = np.add.reduceat(signs, local_starts)
             bits[j, rows] = sums > 0
     weights = 1 << np.arange(32, dtype=np.int64)
-    words = np.einsum("wbd,b->dw", bits.reshape(nwords, 32, ndocs), weights)
-    return pd.Series(words.tolist())
+    return np.einsum("wbd,b->dw", bits.reshape(nwords, 32, ndocs), weights)
 
 
 def with_simhash(df: DataFrame, cfg: DedupConfig, impl: str = "sql",
