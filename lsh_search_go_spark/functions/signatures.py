@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from lsh_search_go_spark.config import DedupConfig
 from lsh_search_go_spark.functions import hashing as H
-from lsh_search_go_spark.functions.simhash import simhash_batch
+from lsh_search_go_spark.functions.simhash import simhash_segments_np
 
 SIG_STRUCT = T.StructType([
     T.StructField("shingles", T.ArrayType(T.LongType())),
