@@ -289,13 +289,25 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
            model: HasherModel, k: int, max_dist: float,
            metric: str = "l2",
            id_col: str = "id", vec_col: str = "vec",
-           query_id_col: str = "query_id", query_vec_col: str = "vec") -> DataFrame:
+           query_id_col: str = "query_id", query_vec_col: str = "vec",
+           dist_impl: str = "sql",
+           max_candidates: int | None = None) -> DataFrame:
     """Batch search: hash queries → (multiprobe) probe expansion → bucket
-    join → pair dedup → exact verify → inclusive threshold → top-k.
+    join → pair dedup → [deterministic candidate cap] → exact verify →
+    inclusive threshold → top-k.
+
+    ``dist_impl``: "sql" (JVM fold — bit-identical to the DuckDB oracle) or
+    "pandas" (Arrow/numpy — the benchmark path, ~50× faster per pair).
+
+    ``max_candidates``: deterministic per-query cap (ordered by neighbor_id)
+    — the reproducible analog of the reference's arrival-order-dependent
+    ``maxCandidates`` early exit (/root/reference/lsh/lsh.go:145,163-166;
+    non-determinism documented in SURVEY §7.0 and not replicated).
 
     Returns (query_id, rank, neighbor_id, dist).
     """
-    from lsh_search_go_spark.functions.vector import cosine_dist_expr, l2_dist_expr
+    from lsh_search_go_spark.functions.vector import (cosine_dist_expr, dist_udf,
+                                                      l2_dist_expr)
     from lsh_search_go_spark.operators.topk import topk_per_query
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
@@ -315,11 +327,18 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
         .select("query_id", "__qvec", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # closestSet analog (lsh/lsh.go:142)
     )
+    if max_candidates is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("query_id").orderBy(F.asc("neighbor_id"))
+        cands = (cands.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= max_candidates).drop("__rn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    dist_expr = cosine_dist_expr if metric == "cosine" else l2_dist_expr
-    scored = (
-        cands.join(c, "neighbor_id")
-        .withColumn("dist", dist_expr("__cvec", "__qvec"))
-        .filter(F.col("dist") <= max_dist)  # inclusive (lsh/lsh.go:179)
-    )
+    joined = cands.join(c, "neighbor_id")
+    if dist_impl == "pandas":
+        scored = joined.withColumn("dist", dist_udf(metric)(F.col("__cvec"),
+                                                            F.col("__qvec")))
+    else:
+        dist_expr = cosine_dist_expr if metric == "cosine" else l2_dist_expr
+        scored = joined.withColumn("dist", dist_expr("__cvec", "__qvec"))
+    scored = scored.filter(F.col("dist") <= max_dist)  # inclusive (lsh/lsh.go:179)
     return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")

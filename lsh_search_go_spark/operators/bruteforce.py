@@ -48,6 +48,78 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")
 
 
+def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
+                        metric: str = "cosine",
+                        id_col: str = "id", vec_col: str = "vec",
+                        query_id_col: str = "query_id",
+                        query_vec_col: str = "vec",
+                        exclude_self: bool = True) -> DataFrame:
+    """Exact top-k, matrix-multiply form: broadcast the (small) query MATRIX to
+    every partition, score each corpus partition against all queries with one
+    numpy matmul, emit per-partition top-k, then global window top-k.
+
+    This is the distributed exact-NN shape that actually carries a benchmark:
+    the per-pair JVM fold in :func:`brute_force_topk` is kept for the
+    DuckDB-mirrored gate; this path is the NNMock-at-scale equivalent
+    (/root/reference/annbench/annbench.go:56-125 done with BLAS, like the
+    reference's gonum usage)."""
+    import numpy as np
+    import pandas as pd
+
+    from lsh_search_go_spark.config import TOL
+    from lsh_search_go_spark.operators.topk import topk_per_query
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[0] for r in qrows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q / np.where(qn > TOL, qn, 1.0)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    schema = f"query_id {dict(queries.dtypes)[query_id_col]}, " \
+             f"neighbor_id {dict(corpus.dtypes)[id_col]}, dist double"
+
+    def op(batches):
+        q_ids_l, Q_l = bc.value
+        Qm = np.asarray(Q_l)
+        nq = len(q_ids_l)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if metric == "l2":
+                # ||c-q||² = ||c||² + ||q||² - 2 c·q
+                d = np.sqrt(np.maximum(
+                    (C * C).sum(1)[:, None] + (Qm * Qm).sum(1)[None, :]
+                    - 2.0 * C @ Qm.T, 0.0))
+            else:
+                cn = np.linalg.norm(C, axis=1, keepdims=True)
+                Cn = C / np.where(cn > TOL, cn, 1.0)
+                qn2 = np.linalg.norm(Qm, axis=1, keepdims=True)
+                Qn2 = Qm / np.where(qn2 > TOL, qn2, 1.0)
+                d = 1.0 - Cn @ Qn2.T
+                zero = (cn[:, 0] <= TOL)[:, None] | (qn2[:, 0] <= TOL)[None, :]
+                d[zero] = 1.0
+                d[d < TOL] = 0.0
+            kk = min(k + 1, d.shape[0])  # +1 covers exclude_self
+            top = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
+            rows = {"query_id": [], "neighbor_id": [], "dist": []}
+            ids = pdf[id_col].to_numpy()
+            for qi in range(nq):
+                sel = top[:, qi]
+                rows["query_id"].extend([q_ids_l[qi]] * len(sel))
+                rows["neighbor_id"].extend(ids[sel])
+                rows["dist"].extend(d[sel, qi])
+            yield pd.DataFrame(rows)
+
+    scored = corpus.mapInPandas(op, schema=schema)
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")
+
+
 def threshold_pairs(corpus: DataFrame, threshold: float, metric: str = "cosine",
                     id_col: str = "id", vec_col: str = "vec") -> DataFrame:
     """All canonical pairs (src < dst) with dist <= threshold (inclusive, as

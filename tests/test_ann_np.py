@@ -1,0 +1,80 @@
+"""Parity of the numpy/Arrow ANN paths vs the JVM-fold definitions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark.config import AnnConfig
+from lsh_search_go_spark.functions.vector import dist_udf
+from lsh_search_go_spark.operators import ann
+from lsh_search_go_spark.operators.bruteforce import (brute_force_topk,
+                                                      brute_force_topk_np)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(scale=8.0, size=(10, 12))
+    train = np.concatenate([c + rng.normal(scale=0.4, size=(60, 12)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(train)], "id long, vec array<double>"
+    ).cache()
+    queries = corpus.filter(F.col("id") % 60 == 0).select(
+        F.col("id").alias("query_id"), "vec").cache()
+    return corpus, queries
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_bruteforce_np_matches_sql(spark, vecs, metric):
+    corpus, queries = vecs
+    sql_res = {(r.query_id, r.rank): (r.neighbor_id, r.dist)
+               for r in brute_force_topk(corpus, queries, 5, metric).collect()}
+    np_res = {(r.query_id, r.rank): (r.neighbor_id, r.dist)
+              for r in brute_force_topk_np(corpus, queries, 5, metric).collect()}
+    assert set(sql_res) == set(np_res)
+    for key in sql_res:
+        assert sql_res[key][0] == np_res[key][0], key
+        assert abs(sql_res[key][1] - np_res[key][1]) < 1e-9
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_dist_udf_matches_expr(spark, metric):
+    from lsh_search_go_spark.functions.vector import cosine_dist_expr, l2_dist_expr
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero-vec guard
+        (3, [1.0, 1.0, 1.0], [1.0, 1.0, 1.0]),   # equal → clamp to 0 (cosine)
+        (4, [-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
+    expr = cosine_dist_expr if metric == "cosine" else l2_dist_expr
+    got = (df.withColumn("ds", expr("a", "b"))
+           .withColumn("dp", dist_udf(metric)(F.col("a"), F.col("b")))
+           .collect())
+    for r in got:
+        assert abs(r.ds - r.dp) < 1e-9, (r.id, r.ds, r.dp)
+
+
+def test_ann_search_pandas_dist_and_cap(spark, vecs):
+    corpus, queries = vecs
+    cfg = AnnConfig(n_trees=8, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
+    model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
+    buckets = ann.build_buckets(corpus, model).cache()
+    a = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
+                   dist_impl="sql")
+    b = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
+                   dist_impl="pandas")
+    ra = {(r.query_id, r.rank, r.neighbor_id) for r in a.collect()}
+    rb = {(r.query_id, r.rank, r.neighbor_id) for r in b.collect()}
+    assert ra == rb
+    # deterministic cap: fewer candidates admitted, still deterministic
+    c1 = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
+                    max_candidates=3).collect()
+    c2 = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
+                    max_candidates=3).collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+    per_q = {}
+    for r in c1:
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) <= 3 for v in per_q.values())
