@@ -113,18 +113,22 @@ def minhash_signature(shingles_col: str, a: tuple[int, ...], b: tuple[int, ...])
 # ---------------------------------------------------------------------------
 
 def poly31_np(strings: pd.Series) -> np.ndarray:
-    """Vectorized char-level poly31 over a Series of ASCII-ish strings.
+    """Vectorized char-level poly31 over a Series of strings (any Unicode).
 
     The loop is over character *positions* (bounded by max token length), not
-    rows — every step is a full-width numpy op.
+    rows — every step is a full-width numpy op.  The buffer is decoded as
+    UTF-32 so ``codes`` holds one CODEPOINT per character: offsets derived
+    from ``str.len()`` (character counts) stay aligned for non-ASCII input,
+    and the folded values match the Spark ``ascii()`` / DuckDB ``unicode()``
+    backends, which also fold codepoints.
     """
     s = strings.fillna("")
     lens = s.str.len().to_numpy(dtype=np.int64)
     n = len(s)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    joined = "".join(s.tolist()).encode("utf-8", errors="surrogatepass")
-    codes = np.frombuffer(joined, dtype=np.uint8).astype(np.int64)
+    joined = "".join(s.tolist()).encode("utf-32-le", errors="surrogatepass")
+    codes = np.frombuffer(joined, dtype=np.uint32).astype(np.int64)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     h = np.zeros(n, dtype=np.int64)

@@ -27,11 +27,26 @@ def test_poly31_exact_values():
 
 
 def test_poly31_duckdb_parity():
-    words = ["a", "hello", "Zyzzyva", "x1 y2"]
+    words = ["a", "hello", "Zyzzyva", "x1 y2", "héllo", "naïve", "Ünïcode"]
     con = duckdb.connect()
     for w in words:
         duck = con.sql(f"select {H.duck_poly31(repr(w))}").fetchone()[0]
         assert duck == poly31_ref(w)
+
+
+def test_poly31_non_ascii_batch_independent():
+    """Regression: offsets are character counts, so the code buffer must be
+    one codepoint per character — a non-ASCII doc earlier in the batch must
+    not shift later docs' hashes (ADVICE r1: UTF-8 byte folding misaligned
+    every subsequent token)."""
+    alone = H.poly31_np(pd.Series(["abc"]))
+    after_nonascii = H.poly31_np(pd.Series(["héllö wörld", "abc"]))
+    assert alone[0] == after_nonascii[1] == poly31_ref("abc") == 96354
+    # and the non-ASCII hash itself folds codepoints (matches ord())
+    assert after_nonascii[0] == poly31_ref("héllö wörld")
+    # non-BMP codepoints fold too
+    got = H.poly31_np(pd.Series(["a\U0001F680b", "abc"]))
+    assert got.tolist() == [poly31_ref("a\U0001F680b"), poly31_ref("abc")]
 
 
 def test_combine_matches_scalar():

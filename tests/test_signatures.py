@@ -18,6 +18,10 @@ TEXTS = [
     "completely different content with no overlap whatsoever here now",
     "",
     "one two",
+    # non-ASCII: exercises the codepoint (not byte) folding across all three
+    # backends — regression for the r1 ADVICE UTF-8 misalignment bug
+    "héllo wörld ünïcode naïve café résumé tokens go hère todäy",
+    "mixed ascii and ünïcode tokens in one документ με unicode συμβολα",
 ]
 
 CFG = DedupConfig()
