@@ -39,6 +39,25 @@ def _scratch_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
+def _make_ann_fixture(n: int, dims: int, path: str) -> None:
+    """Deterministic gaussian-mixture embedding corpus (seeded numpy): one
+    center per 100 points, cluster std 0.5×center scale — the same shape as
+    the tests' mixture fixture, at benchmark size."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_centers = max(n // 100, 1)
+    centers = rng.normal(scale=10.0, size=(n_centers, dims))
+    assign = rng.integers(0, n_centers, size=n)
+    pts = centers[assign] + rng.normal(scale=0.5, size=(n, dims))
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "vec": list(pts.astype(np.float64))})
+    tmp = path + ".tmp"
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+
 def make_session(cpus: int):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     from pyspark.sql import SparkSession
@@ -102,7 +121,6 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
     from lsh_search_go_spark.functions.simhash import with_simhash
     from lsh_search_go_spark.operators import ann
     from lsh_search_go_spark.operators.bands import candidate_pairs, explode_bands
-    from lsh_search_go_spark.operators.bruteforce import brute_force_topk
     from lsh_search_go_spark.operators.cc import assign_clusters
     from lsh_search_go_spark.operators.exact import exact_dup_groups
     from lsh_search_go_spark.operators.verify import jaccard_verify
@@ -151,17 +169,27 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
     # 4. connected components
     timed("dup_clusters", lambda: assign_clusters(docs, pairs, "doc_id").count())
 
-    # 5. ANN on embeddings: forest build + batch search vs brute force
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select(F.col("vec_id").alias("id"),
-                F.expr("transform(embedding, x -> cast(x as double))").alias("vec"))
-        .cache()
-    )
+    # 5. ANN at benchmark scale: deterministic synthetic gaussian-mixture
+    # fixture (the sf0.1 embeddings table is 2k rows — too small for candidate
+    # pruning to show; the reference's published numbers are at 60k-1.18M,
+    # /root/reference/README.md:150-178).  Search runs the Arrow/numpy
+    # distance path (dist_impl="pandas"); brute force is the matmul
+    # mapInPandas scan — both are each side's best implementation.
+    ann_n = int(os.environ.get("SPARK_GRAFT_ANN_N", "1000000"))
+    ann_q = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "100"))
+    fixture = os.path.join(_scratch_dir(), f"ann_fixture_{ann_n}_64.parquet")
+    if not os.path.exists(fixture):
+        _make_ann_fixture(ann_n, 64, fixture)
+    emb = spark.read.parquet(fixture).cache()
     n_emb = emb.count()
-    acfg = AnnConfig(n_trees=10, k_min_vecs=max(50, n_emb // 50), dims=64,
-                     is_angular=True, seed=42, sample_size=20000)
-    queries = emb.filter(F.col("id") < 100).select(
+    # k_min_vecs applies to the FIT SAMPLE: scale the reference's
+    # corpus-relative KMinVecs=300 (SIFT config, annbench_test.go:188-198) by
+    # sample_size/corpus so corpus-level bucket sizes land near ~300 members.
+    sample_size = 20000
+    k_min = max(4, int(300 * sample_size / max(n_emb, 1)))
+    acfg = AnnConfig(n_trees=10, k_min_vecs=k_min, dims=64,
+                     is_angular=True, seed=42, sample_size=sample_size)
+    queries = emb.filter(F.col("id") < ann_q).select(
         F.col("id").alias("query_id"), "vec"
     ).cache()
     queries.count()
@@ -172,12 +200,43 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
         return model, buckets.count(), buckets
 
     model, _, buckets = timed("ann_build", ann_build)
-    timed("ann_lsh_search", lambda: ann.search(
-        queries, buckets, emb, model, k=10, max_dist=2.0, metric="cosine"
-    ).count())
-    timed("ann_bruteforce_search", lambda: brute_force_topk(
-        emb, queries, 10, "cosine", exclude_self=False
-    ).count())
+
+    def lsh_search():
+        return ann.search(
+            queries, buckets, emb, model, k=10, max_dist=2.0, metric="cosine",
+            dist_impl="matmul", max_candidates=10_000,  # MaxCandidates analog (SIFT config)
+        )
+
+    # one untimed warm-up: first run pays Python-worker pool spin-up and the
+    # first full scan of both caches — one-time session costs, not per-search
+    # work (brute force gets the same treatment)
+    lsh_search().count()
+    lsh_res = lsh_search().persist()
+    timed("ann_lsh_search", lambda: lsh_res.count())
+    from lsh_search_go_spark.operators.bruteforce import brute_force_topk_np
+
+    def bf_search():
+        return brute_force_topk_np(emb, queries, 10, "cosine", exclude_self=False)
+
+    bf_search().count()
+    bf_res = bf_search().persist()
+    n_gt = timed("ann_bruteforce_search", lambda: bf_res.count())
+    # set recall of LSH vs exact top-k (A5 analog, annbench.go:143-162)
+    hit = lsh_res.join(bf_res, ["query_id", "neighbor_id"], "left_semi").count()
+    # pruning evidence: exact-distance evaluations per side
+    q_df = queries.select("query_id", F.col("vec").alias("__qvec"))
+    n_cands = ann.candidate_pairs(q_df, buckets, model,
+                                  max_candidates=10_000).count()
+    extra["ann_lsh_dist_evals"] = n_cands
+    extra["ann_bruteforce_dist_evals"] = n_emb * ann_q
+    extra["ann_pruning_ratio"] = round(n_emb * ann_q / max(n_cands, 1), 1)
+    extra["ann_fixture_n"] = n_emb
+    extra["ann_queries"] = ann_q
+    extra["ann_recall_vs_bruteforce"] = round(hit / max(n_gt, 1), 4)
+    extra["ann_speedup"] = round(
+        timings["ann_bruteforce_search"] / max(timings["ann_lsh_search"], 1e-9), 2)
+    lsh_res.unpersist()
+    bf_res.unpersist()
 
     # 6. full pipeline on the synthetic code corpus → files/sec headline.
     # The corpus parquet is materialized OUTSIDE the timed window (production

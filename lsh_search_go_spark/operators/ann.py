@@ -176,13 +176,25 @@ def fit(sample: np.ndarray, cfg: AnnConfig) -> HasherModel:
     return HasherModel(cfg, trees)
 
 
-def fit_from_df(df: DataFrame, cfg: AnnConfig, vec_col: str = "vec") -> HasherModel:
+def fit_from_df(df: DataFrame, cfg: AnnConfig, vec_col: str = "vec",
+                order_col: str | None = None) -> HasherModel:
     """Sample the corpus to the driver and fit — the one small collect of the
-    build path (mirrors Train's in-memory model fit, /root/reference/lsh/lsh.go:113)."""
-    n = df.count()
-    frac = min(1.0, cfg.sample_size / max(n, 1))
-    sample = (df.sample(withReplacement=False, fraction=frac, seed=cfg.seed)
-              .select(vec_col).toPandas()[vec_col])
+    build path (mirrors Train's in-memory model fit, /root/reference/lsh/lsh.go:113).
+
+    ``order_col``: when given, the fit sample is the first ``sample_size``
+    rows ordered by that column — fully deterministic and reproducible
+    *outside Spark* (the DuckDB/numpy oracle re-derives the identical model
+    by sorting the same parquet).  Default (None) keeps Spark's seeded
+    Bernoulli sample, which is deterministic per Spark version but not
+    re-derivable engine-independently."""
+    if order_col is not None:
+        sample = (df.orderBy(order_col).limit(cfg.sample_size)
+                  .select(vec_col).toPandas()[vec_col])
+    else:
+        n = df.count()
+        frac = min(1.0, cfg.sample_size / max(n, 1))
+        sample = (df.sample(withReplacement=False, fraction=frac, seed=cfg.seed)
+                  .select(vec_col).toPandas()[vec_col])
     mat = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     return fit(mat, cfg)
 
@@ -223,24 +235,42 @@ def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
     return out
 
 
-def with_tree_hashes(df: DataFrame, model: HasherModel,
-                     vec_col: str = "vec", out_col: str = "hashes") -> DataFrame:
-    """Arrow-batched pandas UDF: one column array<long>[n_trees] per row.
-    The model rides a Spark broadcast (getHashes analog,
-    /root/reference/lsh/hasher.go:190-219, minus its mutex-serialized
-    pseudo-parallelism which we note and do not replicate)."""
+def exploded_tree_hashes(df: DataFrame, model: HasherModel,
+                         vec_col: str = "vec",
+                         keep_cols: tuple[str, ...] = ("id",)) -> DataFrame:
+    """(keep_cols..., vec) → exploded (keep_cols..., tree_id int, hash long).
+
+    ONE ``mapInPandas`` pass emits the exploded rows directly (getHashes
+    analog, /root/reference/lsh/hasher.go:190-219, minus its mutex-serialized
+    pseudo-parallelism which we note and do not replicate).  Emitting the
+    exploded relation from inside the UDF — instead of a ``posexplode`` over
+    a pandas-UDF array column — is deliberate: Spark plans the latter as
+    stacked ``ArrowEvalPython`` nodes that evaluate the hash UDF twice per
+    row (r1 PLANS.md finding); this shape evaluates it exactly once and the
+    output rows are already narrow (ids + two ints, no vectors)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(model.to_dict())
+    n_trees = len(model.trees)
+    in_df = df.select(*keep_cols, vec_col)
+    schema = T.StructType(
+        [in_df.schema[c] for c in keep_cols]
+        + [T.StructField("tree_id", T.IntegerType(), False),
+           T.StructField("hash", T.LongType(), False)]
+    )
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def udf(vecs: pd.Series) -> pd.Series:
+    def gen(batches):
         m = HasherModel.from_dict(bc.value)
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if X.size == 0:
-            return pd.Series([], dtype=object)
-        return pd.Series(hash_batch(X, m).tolist())
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            hashes = hash_batch(X, m)              # (B, n_trees)
+            out = {c: np.repeat(pdf[c].to_numpy(), n_trees) for c in keep_cols}
+            out["tree_id"] = np.tile(np.arange(n_trees, dtype=np.int32), len(pdf))
+            out["hash"] = hashes.reshape(-1)
+            yield pd.DataFrame(out)
 
-    return df.withColumn(out_col, udf(F.col(vec_col)))
+    return in_df.mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -270,19 +300,37 @@ def load_model(path: str) -> HasherModel:
 def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
                   vec_col: str = "vec") -> DataFrame:
     """(id, vec) → buckets(tree_id int, hash bigint, id) — SetHash analog
-    (/root/reference/store/kv/store.go:64-73) as one posexplode + write."""
-    hashed = with_tree_hashes(df, model, vec_col)
-    return hashed.select(
-        F.col(id_col),
-        F.posexplode("hashes").alias("tree_id", "hash"),
+    (/root/reference/store/kv/store.go:64-73) as one exploded-hash pass."""
+    return exploded_tree_hashes(df, model, vec_col, (id_col,)).select(
+        id_col, "tree_id", "hash"
     )
 
 
 def _msb_flip_expr(hash_col: str) -> str:
     """Multiprobe neighbor hash (/root/reference/lsh/lsh.go:148-153):
-    pos = floor(log2(hash)) for hash > 0 else 0; neighbor = hash ^ (1<<pos)."""
-    pos = f"(case when {hash_col} > 0 then cast(floor(log2({hash_col})) as int) else 0 end)"
+    pos = floor(log2(hash)) for hash > 0 else 0; neighbor = hash ^ (1<<pos).
+
+    The MSB position is computed INTEGER-exactly as ``length(bin(h)) - 1``
+    (never via float log2, whose rounding near exact powers of two differs
+    between engines).  This single expression also covers the edge cases:
+    h == 0 → bin='0' → pos 0 (reference semantics), and h < 0 (bit 63 set,
+    only reachable at max_depth 63; the reference stores uint64) → bin is the
+    64-char two's-complement string → pos 63, i.e. the true MSB (r1 ADVICE;
+    the default max_depth of 62 keeps hashes non-negative)."""
+    pos = f"(length(bin({hash_col})) - 1)"
     return f"cast({hash_col} ^ shiftleft(cast(1 as bigint), {pos}) as bigint)"
+
+
+def msb_flip_np(h: np.ndarray) -> np.ndarray:
+    """Integer-exact mirror of :func:`_msb_flip_expr` (used by the DuckDB
+    oracle's probe-expansion materialization — tiny arrays, exactness over
+    vectorization)."""
+    h = np.asarray(h, dtype=np.int64)
+    pos = np.array(
+        [int(x).bit_length() - 1 if x > 0 else (63 if x < 0 else 0) for x in h],
+        dtype=np.int64,
+    )
+    return h ^ (np.int64(1) << pos)
 
 
 def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
@@ -291,18 +339,38 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
            id_col: str = "id", vec_col: str = "vec",
            query_id_col: str = "query_id", query_vec_col: str = "vec",
            dist_impl: str = "sql",
-           max_candidates: int | None = None) -> DataFrame:
+           max_candidates: int | None = None,
+           broadcast_probes: bool = True,
+           hash_queries_on_driver: bool = True) -> DataFrame:
     """Batch search: hash queries → (multiprobe) probe expansion → bucket
     join → pair dedup → [deterministic candidate cap] → exact verify →
     inclusive threshold → top-k.
 
-    ``dist_impl``: "sql" (JVM fold — bit-identical to the DuckDB oracle) or
-    "pandas" (Arrow/numpy — the benchmark path, ~50× faster per pair).
+    ``dist_impl``: "sql" (JVM fold — bit-identical to the DuckDB oracle),
+    "pandas" (Arrow/numpy pairwise UDF), or "matmul" (broadcast query matrix
+    + vectorized gather per corpus batch — the benchmark path; candidate rows
+    ship only the corpus vector).
 
     ``max_candidates``: deterministic per-query cap (ordered by neighbor_id)
     — the reproducible analog of the reference's arrival-order-dependent
     ``maxCandidates`` early exit (/root/reference/lsh/lsh.go:145,163-166;
     non-determinism documented in SURVEY §7.0 and not replicated).
+
+    Physical-plan contract (the 100 TB shape, r1 VERDICT fixes):
+    * ONE hash-UDF evaluation per side (``exploded_tree_hashes`` emits
+      exploded rows directly — no posexplode over a UDF column);
+    * the probe relation (n_queries × trees × probes rows of three scalars)
+      is **broadcast** into the bucket join — the big corpus bucket relation
+      is never shuffled for a query batch;
+    * query vectors do NOT ride the candidate joins: pairs are deduped as
+      bare (query_id, neighbor_id) ids, then the (small, broadcast) query
+      relation is re-joined by query_id — shuffles move 8-byte ids, not
+      512-byte vectors;
+    * the deduped candidate set is broadcast into the corpus verify join, so
+      the corpus is probed hash-side rather than shuffled.
+    Set ``broadcast_probes=False`` for huge query batches where the probe /
+    candidate relations stop fitting in a broadcast (falls back to shuffle
+    joins; same results).
 
     Returns (query_id, rank, neighbor_id, dist).
     """
@@ -312,19 +380,79 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
-    qh = with_tree_hashes(q, model, "__qvec", "hashes")
-    probes = qh.select(
-        "query_id", "__qvec",
-        F.posexplode("hashes").alias("tree_id", "hash"),
-    )
-    if model.cfg.multiprobe:
-        probes = probes.withColumn(
-            "hash", F.explode(F.array(F.col("hash"), F.expr(_msb_flip_expr("hash"))))
+    cands = candidate_pairs(q, buckets, model, id_col=id_col,
+                            max_candidates=max_candidates,
+                            broadcast_probes=broadcast_probes,
+                            hash_queries_on_driver=hash_queries_on_driver)
+    maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    if dist_impl == "matmul":
+        # Benchmark-scale verify: the query MATRIX is broadcast once; each
+        # candidate row ships only its corpus vector and the distances come
+        # from one vectorized gather per Arrow batch — halves the Arrow
+        # traffic of the pairwise UDF (no per-pair __qvec copies) and removes
+        # per-pair Python.  Same edge semantics as dist_udf (tol guards).
+        scored = _matmul_verify(q, c.join(maybe_bc(cands), "neighbor_id"), metric)
+    else:
+        joined = (
+            c.join(maybe_bc(cands), "neighbor_id")      # corpus stays in place
+            .join(maybe_bc(q), "query_id")              # vectors re-joined late
         )
+        if dist_impl == "pandas":
+            scored = joined.withColumn("dist", dist_udf(metric)(F.col("__cvec"),
+                                                                F.col("__qvec")))
+        else:
+            dist_expr = cosine_dist_expr if metric == "cosine" else l2_dist_expr
+            scored = joined.withColumn("dist", dist_expr("__cvec", "__qvec"))
+        scored = scored.select("query_id", "neighbor_id", "dist")
+    scored = scored.filter(F.col("dist") <= max_dist)    # inclusive (lsh/lsh.go:179)
+    return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")
+
+
+def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
+                    id_col: str = "id",
+                    max_candidates: int | None = None,
+                    broadcast_probes: bool = True,
+                    hash_queries_on_driver: bool = True) -> DataFrame:
+    """Candidate generation: q(query_id, __qvec) × buckets → deduped
+    (query_id, neighbor_id) pairs (Q1-Q4, /root/reference/lsh/lsh.go:140-172).
+    Public so benchmarks/metrics can count the pruned candidate set."""
+    maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
+    if hash_queries_on_driver:
+        # the model lives on the driver and the query batch is small by
+        # contract: hashing locally mirrors the reference's client-side
+        # getHashes (/root/reference/lsh/lsh.go:141) and saves two Spark
+        # jobs + a Python-worker spin-up per search.
+        spark = q.sparkSession
+        qrows = q.collect()
+        q_ids = [r[0] for r in qrows]
+        Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        hashes = hash_batch(Q, model) if len(q_ids) else np.zeros((0, 1), np.int64)
+        n_trees = hashes.shape[1]
+        ids_rep = np.repeat(np.arange(len(q_ids)), n_trees)
+        trees = np.tile(np.arange(n_trees), len(q_ids))
+        flat = hashes.reshape(-1)
+        if model.cfg.multiprobe:
+            ids_rep = np.concatenate([ids_rep, ids_rep])
+            trees = np.concatenate([trees, trees])
+            flat = np.concatenate([flat, msb_flip_np(flat)])
+        qtype = dict(q.dtypes)["query_id"]
+        probes = spark.createDataFrame(
+            [(q_ids[i], int(t), int(h)) for i, t, h in zip(ids_rep, trees, flat)],
+            f"query_id {qtype}, tree_id int, hash long",
+        )
+    else:
+        probes = exploded_tree_hashes(q, model, "__qvec", ("query_id",))
+        if model.cfg.multiprobe:
+            probes = probes.withColumn(
+                "hash",
+                F.explode(F.array(F.col("hash"), F.expr(_msb_flip_expr("hash")))),
+            )
     cands = (
-        probes.join(buckets.withColumnRenamed(id_col, "neighbor_id"),
-                    ["tree_id", "hash"])
-        .select("query_id", "__qvec", "neighbor_id")
+        maybe_bc(probes)
+        .join(buckets.withColumnRenamed(id_col, "neighbor_id"),
+              ["tree_id", "hash"])
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # closestSet analog (lsh/lsh.go:142)
     )
     if max_candidates is not None:
@@ -332,13 +460,48 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
         w = Window.partitionBy("query_id").orderBy(F.asc("neighbor_id"))
         cands = (cands.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= max_candidates).drop("__rn"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    joined = cands.join(c, "neighbor_id")
-    if dist_impl == "pandas":
-        scored = joined.withColumn("dist", dist_udf(metric)(F.col("__cvec"),
-                                                            F.col("__qvec")))
-    else:
-        dist_expr = cosine_dist_expr if metric == "cosine" else l2_dist_expr
-        scored = joined.withColumn("dist", dist_expr("__cvec", "__qvec"))
-    scored = scored.filter(F.col("dist") <= max_dist)  # inclusive (lsh/lsh.go:179)
-    return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")
+    return cands
+
+
+def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str) -> DataFrame:
+    """(query_id, __qvec) queries × (neighbor_id, __cvec, query_id) candidate
+    rows → (query_id, neighbor_id, dist): distances via one numpy gather per
+    Arrow batch against the broadcast query matrix (NNMock-with-BLAS shape,
+    /root/reference/annbench/annbench.go:83-125)."""
+    from lsh_search_go_spark.config import TOL
+
+    spark = q.sparkSession
+    qrows = q.collect()
+    q_ids = [r[0] for r in qrows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+    qtype = dict(q.dtypes)["query_id"]
+    ctype = dict(joined.dtypes)["neighbor_id"]
+    schema = f"query_id {qtype}, neighbor_id {ctype}, dist double"
+
+    def op(batches):
+        q_ids_l, Qm = bc.value
+        Qm = np.asarray(Qm)
+        idx = {qid: i for i, qid in enumerate(q_ids_l)}
+        if metric == "cosine":
+            qn = np.linalg.norm(Qm, axis=1, keepdims=True)
+            Qn = Qm / np.where(qn > TOL, qn, 1.0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["__cvec"].to_numpy())
+            qi = pdf["query_id"].map(idx).to_numpy(dtype=np.int64)
+            if metric == "l2":
+                d = np.linalg.norm(C - Qm[qi], axis=1)
+            else:
+                cn = np.linalg.norm(C, axis=1, keepdims=True)
+                Cn = C / np.where(cn > TOL, cn, 1.0)
+                d = 1.0 - np.einsum("ij,ij->i", Cn, Qn[qi])
+                zero = (cn[:, 0] <= TOL) | (qn[qi, 0] <= TOL)
+                d[zero] = 1.0                       # zero-vector guard (helpers.go:224-231)
+                d[d < TOL] = 0.0                    # clamp (helpers.go:232-233)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "dist": d})
+
+    return joined.select("query_id", "neighbor_id", "__cvec").mapInPandas(op, schema)

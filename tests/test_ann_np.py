@@ -56,18 +56,28 @@ def test_dist_udf_matches_expr(spark, metric):
         assert abs(r.ds - r.dp) < 1e-9, (r.id, r.ds, r.dp)
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_ann_search_dist_impls_agree(spark, vecs, metric):
+    """All three verify backends (JVM fold / pairwise Arrow UDF / broadcast
+    query-matrix gather) return the same neighbors at the same ranks."""
+    corpus, queries = vecs
+    cfg = AnnConfig(n_trees=8, k_min_vecs=30, dims=12, seed=42, sample_size=1000,
+                    is_angular=(metric == "cosine"))
+    model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
+    buckets = ann.build_buckets(corpus, model).cache()
+    res = {}
+    for impl in ("sql", "pandas", "matmul"):
+        res[impl] = {(r.query_id, r.rank, r.neighbor_id)
+                     for r in ann.search(queries, buckets, corpus, model, 5, 1e9,
+                                         metric, dist_impl=impl).collect()}
+    assert res["sql"] == res["pandas"] == res["matmul"]
+
+
 def test_ann_search_pandas_dist_and_cap(spark, vecs):
     corpus, queries = vecs
     cfg = AnnConfig(n_trees=8, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
     model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
     buckets = ann.build_buckets(corpus, model).cache()
-    a = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
-                   dist_impl="sql")
-    b = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
-                   dist_impl="pandas")
-    ra = {(r.query_id, r.rank, r.neighbor_id) for r in a.collect()}
-    rb = {(r.query_id, r.rank, r.neighbor_id) for r in b.collect()}
-    assert ra == rb
     # deterministic cap: fewer candidates admitted, still deterministic
     c1 = ann.search(queries, buckets, corpus, model, 5, 1e9, "l2",
                     max_candidates=3).collect()

@@ -7,6 +7,7 @@ to mirror the driver exactly.
 """
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -15,6 +16,11 @@ import pytest
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# the ann_lsh_topk oracle materializes model-derived parquet for a specific
+# sf_dir; point it at the same tables this test reads (driver default: sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 import __spark_entry__ as entry_mod
 
