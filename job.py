@@ -40,7 +40,14 @@ def main() -> None:
     ap.add_argument("--shingle-k", type=int, default=3)
     ap.add_argument("--num-perm", type=int, default=128)
     ap.add_argument("--num-bands", type=int, default=32)
-    ap.add_argument("--strip-comments", action="store_true", default=True)
+    ap.add_argument("--strip-comments", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="drop '#...' line comments before shingling "
+                         "(--no-strip-comments to disable)")
+    ap.add_argument("--pairs-strategy", default="minhash",
+                    choices=["minhash", "simhash"],
+                    help="candidate generator: MinHash bands or SimHash "
+                         "bit-slice bands (+Hamming verify)")
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets it otherwise)")
@@ -73,6 +80,7 @@ def main() -> None:
         rows_per_band=args.num_perm // args.num_bands,
         jaccard_threshold=args.threshold,
         strip_comments=args.strip_comments,
+        pairs_strategy=args.pairs_strategy,
     )
     source = read_table(spark, args.input)
     pipe = DedupPipeline(spark, cfg, args.workdir, impl=args.impl)

@@ -69,6 +69,13 @@ class DedupConfig:
     strip_comments: bool = False    # code normalization: drop '#...' line comments
     id_col: str = "doc_id"
     content_col: str = "content"
+    pairs_strategy: str = "minhash"  # candidate generator: "minhash" bands or
+                                     # "simhash" bit-slice bands (+Hamming verify)
+    simhash_bands: int = 16          # bit-slice bands for the simhash strategy;
+                                     # > hamming_threshold ⇒ recall 1.0 (pigeonhole)
+    verify_surrogate_keys: bool = True  # assert xxhash64 doc_key is collision-free
+                                        # per run (64-bit keys are safe to ~10^9 docs;
+                                        # swap to 128-bit beyond — see pipeline.py)
 
     def __post_init__(self) -> None:
         if self.num_bands * self.rows_per_band != self.num_perm:
@@ -78,6 +85,13 @@ class DedupConfig:
             )
         if self.simhash_bits % 32 != 0:
             raise ValueError("simhash_bits must be a multiple of 32")
+        if self.pairs_strategy not in ("minhash", "simhash"):
+            raise ValueError(f"unknown pairs_strategy {self.pairs_strategy!r}")
+        if self.pairs_strategy == "simhash" and self.simhash_bands <= self.hamming_threshold:
+            raise ValueError(
+                "simhash_bands must exceed hamming_threshold for full recall "
+                f"({self.simhash_bands} <= {self.hamming_threshold})"
+            )
 
     # --- derived, deterministic hash-family parameters -------------------
     @property
@@ -108,7 +122,10 @@ class AnnConfig:
     k_min_vecs: int = 50            # KMinVecs      (lsh/hasher.go:61) — stop splitting below this
     dims: int = 2                   # Dims          (lsh/hasher.go:62)
     is_angular: bool = False        # isAngularMetric (lsh/hasher.go:63)
-    max_depth: int = 63             # hash must fit 64 bits (lsh/hasher.go:138)
+    max_depth: int = 62             # bits 0..62 keep the int64 hash non-negative;
+                                    # the reference caps depth at 63 in uint64
+                                    # (lsh/hasher.go:138) — 63 is allowed here too
+                                    # (multiprobe handles the negative-hash case)
     sample_size: int = 10_000       # corpus sample used for plane fitting
     multiprobe: bool = True         # MSB-flip probe expansion (lsh/lsh.go:148-157)
     seed: int = 42

@@ -238,6 +238,29 @@ def duck_simhash_words(shingles_sql: str, cfg: DedupConfig) -> str:
     return f"list_transform(range({cfg.simhash_bits // 32}), w -> {word})"
 
 
+def duck_band_expr(words_sql: str, cfg: DedupConfig, n_bands: int,
+                   band_var: str = "j") -> str:
+    """DuckDB mirror of :func:`simhash_band_hashes` for one band index
+    ``band_var`` (0-based): the band's bit-slice value from the word array."""
+    nbits = cfg.simhash_bits
+    if nbits % n_bands != 0:
+        raise ValueError("n_bands must divide simhash_bits")
+    w = nbits // n_bands
+    if w <= 32:
+        if 32 % w != 0:
+            raise ValueError("band width must align with 32-bit words")
+        per_word = 32 // w
+        return (f"({words_sql}[({band_var} // {per_word}) + 1] "
+                f">> (({band_var} % {per_word}) * {w})) & {(1 << w) - 1}")
+    words_per_band = w // 32
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_slice({words_sql}, {band_var} * {words_per_band} + 1, "
+        f"({band_var} + 1) * {words_per_band})), "
+        f"(acc, x) -> acc * 4294967296 + x)"
+    )
+
+
 def duck_hamming(col1: str, col2: str, nwords: int) -> str:
     return (
         f"list_reduce(list_prepend(0::BIGINT, list_transform(range({nwords}), i -> "

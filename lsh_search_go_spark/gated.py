@@ -52,12 +52,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_SHINGLED_CACHE: dict = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
-    """Shingled docs, persisted: Catalyst's projection collapse would otherwise
-    inline the shingle expression into every downstream reference (e.g. 128×
-    per row under the MinHash transform) — materializing once is the same
-    move the pipeline makes by writing the signatures stage to Parquet."""
-    return SHG.with_shingles(_docs(spark, sf_dir), CFG, impl).persist()
+    """Shingled docs, persisted AND memoized per (session, sf_dir, impl):
+    Catalyst's projection collapse would otherwise inline the shingle
+    expression into every downstream reference (e.g. 128× per row under the
+    MinHash transform), and the driver gate runs ~17 queries over the same
+    relation — one persisted copy serves them all (r1 VERDICT #9)."""
+    key = (id(spark), sf_dir, impl)
+    if key not in _SHINGLED_CACHE:
+        _SHINGLED_CACHE[key] = SHG.with_shingles(
+            _docs(spark, sf_dir), CFG, impl).persist()
+    return _SHINGLED_CACHE[key]
 
 
 # --------------------------------------------------------------------------
@@ -85,14 +93,20 @@ def q_shingle_profile(spark, sf_dir):
     )
 
 
+_SIGS_CACHE: dict = {}
+
+
 def _minhash_sigs(spark, sf_dir, impl):
-    a, b = CFG.minhash_params
-    return (
-        _shingled(spark, sf_dir, impl)
-        .filter(F.size("shingles") > 0)
-        .withColumn("minhash", H.minhash_signature("shingles", a, b))
-        .persist()
-    )
+    key = (id(spark), sf_dir, impl)
+    if key not in _SIGS_CACHE:
+        a, b = CFG.minhash_params
+        _SIGS_CACHE[key] = (
+            _shingled(spark, sf_dir, impl)
+            .filter(F.size("shingles") > 0)
+            .withColumn("minhash", H.minhash_signature("shingles", a, b))
+            .persist()
+        )
+    return _SIGS_CACHE[key]
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -178,6 +192,20 @@ def q_simhash_dup_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_banded_dup_pairs(spark, sf_dir):
+    """The pipeline's simhash pairs strategy: bit-slice band buckets generate
+    candidates (recall 1.0 vs brute Hamming by pigeonhole — simhash_bands >
+    hamming_threshold), then exact Hamming verify.  The forest-as-candidate-
+    generator shape of the reference (/root/reference/lsh/lsh.go:154-172)."""
+    from lsh_search_go_spark.operators.verify import hamming_verify
+
+    sh = SIM.with_simhash(_shingled(spark, sf_dir), CFG, "sql").filter(
+        F.size("shingles") > 0
+    )
+    cands = SIM.simhash_candidate_pairs(sh, CFG, CFG.simhash_bands, "doc_id")
+    return hamming_verify(cands, sh, CFG.hamming_threshold, "doc_id")
+
+
 def q_substring_containment(spark, sf_dir):
     sh = _shingled(spark, sf_dir)
     return SUB.substring_pairs(sh, CFG)
@@ -194,12 +222,28 @@ def q_ann_topk_bruteforce(spark, sf_dir):
                       F.round("dist", 9).alias("dist_r"))
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (the reference's Train+Search path) on embeddings.
-    No SQL oracle: the forest depends on seeded numpy sampling DuckDB cannot
-    reproduce — rows-only gate; exact-recall coverage lives in
-    tests/test_ann.py::test_mixture_recall_vs_bruteforce."""
+def _ann_cfg(n: int):
+    """Shared ANN config derivation: the Spark gate query AND the numpy/DuckDB
+    oracle must build the identical seeded forest for the same corpus size."""
     from lsh_search_go_spark.config import AnnConfig
+
+    return AnnConfig(n_trees=10, k_min_vecs=max(25, n // 50), dims=64,
+                     is_angular=True, seed=42, sample_size=20000)
+
+
+ANN_MAX_DIST = 2.0
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the reference's Train+Search path,
+    /root/reference/lsh/lsh.go:107-199) on embeddings.
+
+    Fully oracle-gated: the forest fit is deterministic and engine-independent
+    (first ``sample_size`` vectors ordered by id — ``fit_from_df(order_col=)``),
+    so ``ann_oracle_tables`` re-derives the identical model in pure
+    numpy/pyarrow and the post-hash stages (probe expansion → bucket join →
+    exact cosine verify → top-k, /root/reference/lsh/lsh.go:148-198) are plain
+    relational algebra DuckDB mirrors bit-for-bit."""
     from lsh_search_go_spark.operators import ann
 
     emb = _emb(spark, sf_dir).select(
@@ -207,17 +251,74 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
     ).persist()
     n = emb.count()
-    acfg = AnnConfig(n_trees=10, k_min_vecs=max(25, n // 50), dims=64,
-                     is_angular=True, seed=42, sample_size=20000)
-    model = ann.fit_from_df(emb, acfg, "vec")
+    acfg = _ann_cfg(n)
+    model = ann.fit_from_df(emb, acfg, "vec", order_col="id")
     buckets = ann.build_buckets(emb, model, "id", "vec")
     queries = emb.filter(F.col("id") < ANN_N_QUERIES).select(
         F.col("id").alias("query_id"), "vec"
     )
-    out = ann.search(queries, buckets, emb, model, k=ANN_K, max_dist=2.0,
-                     metric="cosine")
+    out = ann.search(queries, buckets, emb, model, k=ANN_K,
+                     max_dist=ANN_MAX_DIST, metric="cosine")
     return out.select("query_id", "rank", "neighbor_id",
                       F.round("dist", 9).alias("dist_r"))
+
+
+def ann_oracle_tables(sf_dir: str) -> str:
+    """Materialize the ANN oracle's model-derived relations as parquet —
+    buckets(vec_id, tree_id, hash) for the whole corpus and
+    probes(query_id, tree_id, hash) with the MSB-flip multiprobe expansion —
+    using ONLY pyarrow + numpy (no Spark).  Returns the directory.
+
+    This is what lets DuckDB gate the reference's flagship read path: the
+    seeded forest is re-derived here exactly (same sorted fit sample, same
+    float64 arithmetic), and everything after hashing is SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lsh_search_go_spark.operators import ann
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    acfg = _ann_cfg(len(pdf))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{acfg.config_hash}|v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"lsh_ann_oracle_{key}")
+    bpath = os.path.join(out_dir, "buckets.parquet")
+    ppath = os.path.join(out_dir, "probes.parquet")
+    if os.path.exists(bpath) and os.path.exists(ppath):
+        return out_dir
+    model = ann.fit(X[: acfg.sample_size], acfg)
+    hashes = ann.hash_batch(X, model)                     # (n, n_trees)
+    n, n_trees = hashes.shape
+    buckets = pd.DataFrame({
+        "vec_id": np.repeat(ids, n_trees),
+        "tree_id": np.tile(np.arange(n_trees, dtype=np.int64), n),
+        "hash": hashes.reshape(-1),
+    })
+    qmask = ids < ANN_N_QUERIES
+    qids = np.repeat(ids[qmask], n_trees)
+    qtree = np.tile(np.arange(n_trees, dtype=np.int64), int(qmask.sum()))
+    qhash = hashes[qmask].reshape(-1)
+    parts = [pd.DataFrame({"query_id": qids, "tree_id": qtree, "hash": qhash})]
+    if acfg.multiprobe:
+        parts.append(pd.DataFrame({"query_id": qids, "tree_id": qtree,
+                                   "hash": ann.msb_flip_np(qhash)}))
+    probes = pd.concat(parts, ignore_index=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for df, path in ((buckets, bpath), (probes, ppath)):
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return out_dir
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
@@ -391,6 +492,26 @@ from sigs a join sigs b on a.doc_id < b.doc_id
 where {SIM.duck_hamming('a.words', 'b.words', nwords)} <= {CFG.hamming_threshold}
 """
 
+    band_val = SIM.duck_band_expr("sigs.words", CFG, CFG.simhash_bands, "bj")
+    sql["simhash_banded_dup_pairs"] = f"""
+with sh as ({_duck_shingled_cte()}),
+sigs as (select doc_id, {simhash_list} as words from sh where len(sh.shingles) > 0),
+bands as (
+  select sigs.doc_id, bj as band_id, {band_val} as band_hash
+  from sigs, (select unnest(range({CFG.simhash_bands})) as bj)
+),
+cands as (
+  select distinct a.doc_id as src_id, b.doc_id as dst_id
+  from bands a join bands b
+    on a.band_id = b.band_id and a.band_hash = b.band_hash and a.doc_id < b.doc_id
+)
+select c.src_id, c.dst_id, {SIM.duck_hamming('sa.words', 'sb.words', nwords)} as hamming
+from cands c
+join sigs sa on sa.doc_id = c.src_id
+join sigs sb on sb.doc_id = c.dst_id
+where {SIM.duck_hamming('sa.words', 'sb.words', nwords)} <= {CFG.hamming_threshold}
+"""
+
     norm = f"array_to_string({toks}, ' ')"
     sql["substring_containment"] = f"""
 with n as (select doc_id, {norm} as nt from ({_duck_docs_cte()}))
@@ -411,6 +532,38 @@ ranked as (
   select query_id, neighbor_id, dist,
          row_number() over (partition by query_id order by dist asc, neighbor_id asc) as rank
   from scored
+)
+select query_id, rank, neighbor_id, round(dist, 9) as dist_r
+from ranked where rank <= {ANN_K}
+"""
+
+    # ann_lsh_topk: the model-derived relations (corpus bucket hashes, query
+    # probe hashes incl. multiprobe) are materialized by pure numpy/pyarrow —
+    # the identical seeded forest the Spark query fits — and the post-hash
+    # read path (bucket join → exact cosine verify → top-k,
+    # /root/reference/lsh/lsh.go:148-198) is mirrored in SQL.
+    import os as _os
+
+    ann_dir = ann_oracle_tables(
+        _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+    cosq = V.duck_cosine_dist("n.embedding", "q.embedding")
+    sql["ann_lsh_topk"] = f"""
+with b as (select * from read_parquet('{ann_dir}/buckets.parquet')),
+p as (select * from read_parquet('{ann_dir}/probes.parquet')),
+cands as (
+  select distinct p.query_id, b.vec_id as neighbor_id
+  from p join b on p.tree_id = b.tree_id and p.hash = b.hash
+),
+scored as (
+  select c.query_id, c.neighbor_id, {cosq} as dist
+  from cands c
+  join embeddings q on q.vec_id = c.query_id
+  join embeddings n on n.vec_id = c.neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, dist,
+         row_number() over (partition by query_id order by dist asc, neighbor_id asc) as rank
+  from scored where dist <= {ANN_MAX_DIST}
 )
 select query_id, rank, neighbor_id, round(dist, 9) as dist_r
 from ranked where rank <= {ANN_K}
@@ -455,8 +608,9 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _longify(q_dup_clusters),
         "simhash_signatures": _longify(q_simhash_signatures),
         "simhash_dup_pairs": _longify(q_simhash_dup_pairs),
+        "simhash_banded_dup_pairs": _longify(q_simhash_banded_dup_pairs),
         "substring_containment": _longify(q_substring_containment),
         "ann_topk_bruteforce": _longify(q_ann_topk_bruteforce),
-        "ann_lsh_topk": _longify(q_ann_lsh_topk),  # rows-only: no oracle entry
+        "ann_lsh_topk": _longify(q_ann_lsh_topk),
         "embedding_neardup_pairs": _longify(q_embedding_neardup_pairs),
     }

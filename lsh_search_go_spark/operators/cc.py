@@ -93,19 +93,40 @@ def _driver_cc(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, f"doc_id {schema_t}, cluster_id {schema_t}")
 
 
+def _driver_row_budget(edges: DataFrame, budget_bytes: int) -> int:
+    """How many edge rows fit ``budget_bytes`` of DRIVER memory once
+    collected as Python objects.  Bytes-aware (r1 VERDICT #5): a 64-char sha
+    id costs ~an order of magnitude more per row than a bigint surrogate —
+    row-count thresholds alone are memory-unsafe at the margin."""
+    numeric = {"bigint", "int", "smallint", "tinyint", "double", "float"}
+    per_row = 0
+    for col in ("src_id", "dst_id"):
+        dtype = dict(edges.dtypes)[col]
+        # measured CPython costs: small int ~32B (+dict slot ~100B with
+        # union-find bookkeeping); str of ~64 chars ~120B + dict overhead
+        per_row += 150 if dtype in numeric else 450
+    return max(budget_bytes // per_row, 1)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int | None = None,
+                         driver_budget_bytes: int = 64 << 20) -> DataFrame:
     """edges(src_id, dst_id) → labels(doc_id, cluster_id), only for nodes that
     appear in edges.  Callers union in singletons (see ``assign_clusters``).
 
-    Edge sets at or below ``driver_threshold`` rows run a driver-side
-    union-find; larger ones run distributed large-star/small-star rounds."""
+    Small edge sets run a driver-side union-find; larger ones run distributed
+    large-star/small-star rounds.  "Small" is decided by an id-width-aware
+    row budget derived from ``driver_budget_bytes`` (64 MB default); pass
+    ``driver_threshold`` (rows) to override, or 0 to force the distributed
+    path."""
     if not edges.take(1):
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id string, cluster_id string").select(
             F.col("doc_id").cast(dict(edges.dtypes)["src_id"]),
             F.col("cluster_id").cast(dict(edges.dtypes)["src_id"]),
         )
+    if driver_threshold is None:
+        driver_threshold = _driver_row_budget(edges, driver_budget_bytes)
     if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
         return _driver_cc(edges)
     e = edges.select("src_id", "dst_id").distinct().localCheckpoint()
@@ -128,7 +149,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
 
 def assign_clusters(all_docs: DataFrame, edges: DataFrame,
                     id_col: str = "doc_id",
-                    driver_threshold: int = 2_000_000) -> DataFrame:
+                    driver_threshold: int | None = None) -> DataFrame:
     """Full assignment (doc_id, cluster_id): component min for connected docs,
     self for singletons."""
     labels = connected_components(edges, driver_threshold=driver_threshold)

@@ -176,6 +176,23 @@ class DedupPipeline:
 
         signatures = self._run_stage("signatures", result, build_signatures)
 
+        if cfg.verify_surrogate_keys:
+            # r1 ADVICE: promote the 64-bit-collision comment to an enforced
+            # guard — a silent xxhash64 collision would merge two distinct
+            # documents' pairs/clusters through the idmap join.  One exact
+            # countDistinct pass per run; disable via config at the scale
+            # where the 128-bit surrogate replaces this.
+            r = signatures.agg(
+                F.countDistinct(cfg.id_col).alias("n_ids"),
+                F.countDistinct("doc_key").alias("n_keys"),
+            ).collect()[0]
+            if r["n_ids"] != r["n_keys"]:
+                raise RuntimeError(
+                    f"doc_key surrogate collision: {r['n_ids']} distinct ids → "
+                    f"{r['n_keys']} distinct keys; switch to a 128-bit surrogate "
+                    "(two-long key) for this corpus size"
+                )
+
         # ---- buckets: (band_id, band_hash, doc_id) — derived view by
         # default; materialized only for serving deployments (which would add
         # (band_id, band_hash) bucketing at this sink for probe pruning).
@@ -208,8 +225,26 @@ class DedupPipeline:
         else:
             buckets = make_buckets()
 
-        # ---- pairs: candidates → exact-Jaccard verify (inclusive threshold)
+        # ---- pairs: candidates → exact verify (inclusive threshold).
+        # Strategy "minhash": band buckets → exact-Jaccard verify;
+        # strategy "simhash": bit-slice bands (recall 1.0 vs brute Hamming by
+        # pigeonhole when simhash_bands > hamming_threshold) → Hamming verify —
+        # the forest-as-candidate-generator shape of the reference
+        # (/root/reference/lsh/lsh.go:154-172).
         def build_pairs():
+            if cfg.pairs_strategy == "simhash":
+                from lsh_search_go_spark.functions.simhash import (
+                    simhash_candidate_pairs,
+                )
+                from lsh_search_go_spark.operators.verify import hamming_verify
+
+                signed = signatures.filter(F.size("shingles") > 0)
+                cands = simhash_candidate_pairs(
+                    signed, cfg, cfg.simhash_bands, "doc_key",
+                    max_bucket_size=cfg.max_bucket_size)
+                verified = hamming_verify(cands, signatures,
+                                          cfg.hamming_threshold, "doc_key")
+                return map_back(verified, "src_id", "dst_id", ["hamming"])
             dropped = oversized_buckets(buckets, cfg.max_bucket_size)
             write_table(dropped, os.path.join(self.root, "dropped_buckets"))
             cands = candidate_pairs(buckets, "doc_key", cfg.max_bucket_size)
@@ -220,6 +255,13 @@ class DedupPipeline:
 
         # ---- substring containment (suffix-array slot)
         def build_substring():
+            from lsh_search_go_spark.operators.substring import oversized_blocks
+
+            # skew log: blocking keys the cap will drop (license-header-style
+            # ubiquitous prefixes) — never silent
+            exploded_log = signatures.select(F.explode("shingles").alias("__sh"))
+            write_table(oversized_blocks(exploded_log, cfg.max_bucket_size),
+                        os.path.join(self.root, "dropped_blocks"))
             if {"norm_text", "first_sh", "last_sh"} <= set(signatures.columns):
                 # fused path: everything needed is in signatures; run the
                 # joins in key space, map ids at the end (containment is

@@ -156,6 +156,66 @@ def test_resume_skips_completed_stages_and_matches(spark, source, run):
     assert a == b
 
 
+def test_resume_after_partial_failure(spark, source, run, tmp_path_factory):
+    """Kill-mid-run contract (FIXTURES §5): complete the signatures stage,
+    simulate death before pairs/clusters, re-run — later stages rebuild,
+    signatures resumes, and the final clusters equal an uninterrupted run."""
+    import os
+    import shutil
+
+    _, baseline = run
+    workdir = str(tmp_path_factory.mktemp("killrun"))
+    pipe = DedupPipeline(spark, CFG, workdir, impl="pandas")
+    first = pipe.run(source)
+    # simulate a crash after the signatures stage: later outputs vanish
+    for stage in ("pairs", "clusters", "substring"):
+        shutil.rmtree(os.path.join(pipe.root, stage))
+    second = pipe.run(source)
+    by_name = {s.name: s for s in second.stages}
+    assert by_name["signatures"].resumed, "completed stage must be skipped"
+    assert not by_name["pairs"].resumed and not by_name["clusters"].resumed
+    a = {(r.doc_id, r.cluster_id)
+         for r in spark.read.parquet(baseline.tables["clusters"]).collect()}
+    b = {(r.doc_id, r.cluster_id)
+         for r in spark.read.parquet(second.tables["clusters"]).collect()}
+    assert a == b
+    # a half-written stage (no _SUCCESS) must also rebuild
+    clusters_dir = os.path.join(pipe.root, "clusters")
+    os.remove(os.path.join(clusters_dir, "_SUCCESS"))
+    third = pipe.run(source)
+    assert not {s.name: s for s in third.stages}["clusters"].resumed
+
+
+def test_simhash_pairs_strategy_end_to_end(spark, source, tmp_path_factory):
+    """pairs_strategy='simhash': banded bit-slice candidates + exact Hamming
+    verify must equal the brute-force Hamming oracle exactly (pigeonhole:
+    simhash_bands > hamming_threshold ⇒ candidate recall 1.0)."""
+    from lsh_search_go_spark.functions.simhash import hamming_expr, with_simhash
+
+    cfg = DedupConfig(strip_comments=True, pairs_strategy="simhash")
+    workdir = str(tmp_path_factory.mktemp("simhash_pipe"))
+    pipe = DedupPipeline(spark, cfg, workdir, impl="pandas")
+    res = pipe.run(source, with_substring=False)
+    got = {(r.src_id, r.dst_id)
+           for r in spark.read.parquet(res.tables["pairs"]).collect()}
+    # persist between shingling and simhash: projection collapse would inline
+    # the shingle HOF into all 64 bit expressions (see gated._shingled)
+    shingled = with_shingles(source, cfg, "sql").select(
+        "doc_id", "shingles").persist()
+    sh = with_simhash(shingled, cfg, "sql").filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("src_id"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("dst_id"), F.col("simhash").alias("hb"))
+    exp = {
+        (r.src_id, r.dst_id)
+        for r in a.crossJoin(b)
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .withColumn("hamming", hamming_expr("ha", "hb"))
+        .filter(F.col("hamming") <= cfg.hamming_threshold)
+        .collect()
+    }
+    assert got == exp and exp, "banded simhash pairs must equal brute Hamming"
+
+
 def test_backends_agree_end_to_end(spark, source, tmp_path_factory):
     """The pandas/Arrow path and the JVM-SQL path produce identical pairs."""
     wa = str(tmp_path_factory.mktemp("sqlimpl"))
