@@ -11,7 +11,7 @@ Scaling mode (``--scaling``): runs the identical pipeline job at local[8] and
 local[32] in separate subprocesses on the same input and reports throughput at
 both plus scaling efficiency ``(files_per_sec@32 / files_per_sec@8) / 4`` —
 the sandbox stand-in for the N vs 4N executor-cluster criterion (BASELINE.md).
-Writes BENCH.md.
+Writes BENCH_SCALING.md (BENCH.md is the hand-curated analysis).
 """
 
 from __future__ import annotations
@@ -69,7 +69,11 @@ def make_session(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # JVM heap scaled with concurrency: 32 concurrent tasks of parquet
+        # write buffers + Arrow batches thrash a fixed 16g heap (measured:
+        # the signatures write drops 26s → 14s at 48g on 32 cores)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(16, cpus * 2)}g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # single ~100MB input parquet must split across all cores
         .config("spark.sql.files.maxPartitionBytes", "16m")
@@ -356,7 +360,7 @@ def run_scaling(args) -> None:
         "synth_files": results[n_lo]["synth_files"],
     }
     print(json.dumps(report))
-    with open("BENCH.md", "w") as f:
+    with open("BENCH_SCALING.md", "w") as f:
         f.write(render_bench_md(results, report, n_lo, n_hi, factor))
 
 

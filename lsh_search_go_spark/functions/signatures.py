@@ -46,57 +46,80 @@ def _normalize_series(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
 
 
 def _tokenize_batch(texts: pd.Series, cfg: DedupConfig):
-    """Normalization + tokenization + token hashing, byte-vectorized.
+    """Normalization + tokenization + token hashing, byte-vectorized END TO
+    END — comment masking, lowercasing, whitespace splitting and the
+    normalized-text reconstruction are all numpy passes over one byte buffer
+    (r1 round left normalization to pandas C regex, which was the largest
+    non-tileable share of the signature stage and capped multi-core scaling).
 
-    Semantics identical to the SQL ``tokens_expr`` + char poly31: tokens are
-    maximal non-whitespace runs of the normalized text; each token's hash
-    folds its CODEPOINTS.  The numpy fast path works on the ASCII byte level
-    (codepoint == byte); any non-ASCII byte falls back to the object path.
+    Semantics identical to the SQL ``tokens_expr`` + char poly31: optional
+    ``#``-to-end-of-line comment removal, optional lowercase, tokens are
+    maximal non-``\\s`` runs, each token's hash folds its CODEPOINTS.  The
+    fast path requires ASCII (codepoint == byte); any non-ASCII character
+    falls back to the object path via :func:`_normalize_series`.
 
     Returns (norm: pd.Series[str], counts, flat_hashes, starts) where
-    flat_hashes/starts describe the per-doc token-hash segments.
-
-    Why: pandas ``str.split`` materializes every token as a Python object —
-    allocator-bound work that neither vectorizes nor scales across executor
-    cores.  This path never creates a token object: one byte buffer, boundary
-    masks, and a position loop bounded by the longest token.
+    flat_hashes/starts describe the per-doc token-hash segments and ``norm``
+    is the single-space-joined token stream (the substring pass input).
     """
-    norm = _normalize_series(texts, cfg)
-    joined = ("\n".join(norm.tolist()) + "\n").encode("utf-8", errors="surrogatepass")
-    arr = np.frombuffer(joined, dtype=np.uint8)
-    if (arr >= 128).any():  # non-ASCII: codepoint != byte → object path
-        tok_lists = norm.str.split(" ")
-        empty = norm == ""
-        if empty.any():
-            tok_lists = tok_lists.where(
-                ~empty, other=pd.Series([[]] * int(empty.sum()),
-                                        index=tok_lists.index[empty]))
-        counts = tok_lists.str.len().to_numpy(dtype=np.int64)
-        flat = pd.Series([t for xs in tok_lists for t in xs], dtype=object)
-        flat_hashes = H.poly31_np(flat)
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        return norm, counts, flat_hashes, starts
+    s = texts.fillna("")
+    ndocs = len(s)
+    joined = "".join(s.tolist())
+    try:
+        buf = joined.encode("ascii")
+    except UnicodeEncodeError:
+        return _tokenize_batch_fallback(s, cfg)
 
-    ndocs = len(norm)
-    is_sep = (arr == 32) | (arr == 10)           # ' ' between tokens, '\n' between docs
-    prev_sep = np.empty_like(is_sep)
+    arr = np.frombuffer(buf, dtype=np.uint8).copy()
+    n = arr.shape[0]
+    doc_lens = s.str.len().to_numpy(dtype=np.int64)
+    doc_ends = np.cumsum(doc_lens)
+    doc_starts = doc_ends - doc_lens
+    empty_out = (pd.Series([""] * ndocs, index=s.index),
+                 np.zeros(ndocs, dtype=np.int64),
+                 np.zeros(0, dtype=np.int64),
+                 np.zeros(ndocs, dtype=np.int64))
+    if n == 0:
+        return empty_out
+    if cfg.lowercase:
+        up = (arr >= 65) & (arr <= 90)
+        arr[up] += 32
+    is_ws = (arr == 32) | ((arr >= 9) & (arr <= 13))   # \s = [ \t\n\x0B\f\r]
+    sep = is_ws
+    if cfg.strip_comments:
+        # '#' kills bytes up to (not incl.) the next '\n' within the same doc:
+        # a byte is dead iff the latest '#' at-or-before it is newer than both
+        # the latest newline and its doc's start.
+        idx = np.arange(n, dtype=np.int64)
+        lh = np.maximum.accumulate(np.where(arr == 35, idx, -1))
+        lnl = np.maximum.accumulate(np.where(arr == 10, idx, -1))
+        doc_start_of = np.repeat(doc_starts, doc_lens)
+        killed = (lh >= 0) & (lh > lnl) & (lh >= doc_start_of)
+        sep = sep | killed
+    # token starts: non-sep byte whose predecessor is a sep — or a doc start
+    # (tokens never span the concatenation boundary between two documents)
+    prev_sep = np.empty_like(sep)
     prev_sep[0] = True
-    prev_sep[1:] = is_sep[:-1]
-    tok_start = (~is_sep) & prev_sep             # first byte of each token
+    prev_sep[1:] = sep[:-1]
+    tok_start = (~sep) & prev_sep
+    ds_valid = doc_starts[doc_starts < n]
+    tok_start[ds_valid] |= ~sep[ds_valid]
     tstarts = np.flatnonzero(tok_start)
-    # every token ends at the first separator after its start; seps are sorted
-    seps = np.flatnonzero(is_sep)
-    tends = seps[np.searchsorted(seps, tstarts)]
-    tlens = tends - tstarts
     ntok = tstarts.shape[0]
-    # per-doc token counts: doc d spans bytes [doc_off[d], doc_off[d+1]);
-    # '\n' positions delimit docs
-    nl = np.flatnonzero(arr == 10)
-    doc_ends = nl                                 # one '\n' per doc
-    counts = np.searchsorted(tstarts, doc_ends, side="left")
-    counts[1:] = counts[1:] - counts[:-1]
-    counts = counts.astype(np.int64)
+    if ntok == 0:
+        return empty_out
+    # token ends: first separator after the start, clamped to the doc end
+    seps = np.flatnonzero(sep)
+    if seps.size:
+        next_sep = np.searchsorted(seps, tstarts)
+        send = np.where(next_sep < seps.size,
+                        seps[np.minimum(next_sep, seps.size - 1)], n)
+    else:
+        send = np.full(ntok, n, dtype=np.int64)
+    doc_of_tok = np.searchsorted(doc_ends, tstarts, side="right")
+    tends = np.minimum(send, doc_ends[doc_of_tok])
+    tlens = tends - tstarts
+    counts = np.bincount(doc_of_tok, minlength=ndocs).astype(np.int64)
     starts = np.zeros(ndocs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     # poly31 over token bytes: position loop bounded by the longest token
@@ -104,12 +127,55 @@ def _tokenize_batch(texts: pd.Series, cfg: DedupConfig):
     # the plain boolean-mask loop measures fastest — gathers stay in the
     # source byte order, best cache locality).
     h = np.zeros(ntok, dtype=np.int64)
-    if ntok:
-        a64 = arr.astype(np.int64)
-        for pos in range(int(tlens.max())):
-            active = tlens > pos
-            h[active] = (h[active] * 31 + a64[tstarts[active] + pos]) % H.P
+    a64 = arr.astype(np.int64)
+    for pos in range(int(tlens.max())):
+        active = tlens > pos
+        h[active] = (h[active] * 31 + a64[tstarts[active] + pos]) % H.P
+    # normalized text: tokens re-joined with single spaces, one ragged
+    # gather — no per-token Python.  Output layout: per doc, tokens
+    # separated by one space (buffer pre-filled with spaces).
+    tok_cum = np.zeros(ntok, dtype=np.int64)
+    np.cumsum(tlens[:-1], out=tok_cum[1:])              # flat char offset per token
+    total_chars = int(tlens.sum())
+    # output start of each token: chars of earlier tokens + one space per
+    # earlier token, both *within the doc*
+    doc_chars = np.zeros(ndocs, dtype=np.int64)
+    np.add.at(doc_chars, doc_of_tok, tlens)
+    out_doc_len = doc_chars + np.maximum(counts - 1, 0)
+    out_doc_start = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(out_doc_len[:-1], out=out_doc_start[1:])
+    tok_index_in_doc = np.arange(ntok, dtype=np.int64) - starts[doc_of_tok]
+    chars_before_tok = tok_cum - tok_cum[starts[doc_of_tok]]
+    tok_out_start = (out_doc_start[doc_of_tok] + chars_before_tok
+                     + tok_index_in_doc)                 # + one space per prior token
+    within = np.arange(total_chars, dtype=np.int64) - np.repeat(tok_cum, tlens)
+    src = np.repeat(tstarts, tlens) + within
+    dst = np.repeat(tok_out_start, tlens) + within
+    out_buf = np.full(int(out_doc_len.sum()), 32, dtype=np.uint8)
+    out_buf[dst] = arr[src]
+    out_str = out_buf.tobytes().decode("ascii")
+    out_ends = out_doc_start + out_doc_len
+    norm = pd.Series([out_str[a:b] for a, b in zip(out_doc_start, out_ends)],
+                     index=s.index)
     return norm, counts, h, starts
+
+
+def _tokenize_batch_fallback(s: pd.Series, cfg: DedupConfig):
+    """Object-path tokenizer for non-ASCII batches (codepoint != byte):
+    pandas regex normalization + per-token poly31 via the UTF-32 numpy hash."""
+    norm = _normalize_series(s, cfg)
+    tok_lists = norm.str.split(" ")
+    empty = norm == ""
+    if empty.any():
+        tok_lists = tok_lists.where(
+            ~empty, other=pd.Series([[]] * int(empty.sum()),
+                                    index=tok_lists.index[empty]))
+    counts = tok_lists.str.len().to_numpy(dtype=np.int64)
+    flat = pd.Series([t for xs in tok_lists for t in xs], dtype=object)
+    flat_hashes = H.poly31_np(flat)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return norm, counts, flat_hashes, starts
 
 
 def _batch_shingles(flat_hashes: np.ndarray, counts: np.ndarray,

@@ -45,7 +45,8 @@ def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
 
 def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
                     max_bucket_size: int | None = None,
-                    strategy: str = "join") -> DataFrame:
+                    strategy: str = "join",
+                    sizes: DataFrame | None = None) -> DataFrame:
     """Distinct canonical candidate pairs (src_id < dst_id) from bucket
     co-membership.
 
@@ -64,12 +65,17 @@ def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id",
     is too wide to shuffle twice.  The cap is what bounds the n²/2 expansion
     per bucket in both strategies (reference ``maxCandidates`` analog done
     deterministically — SURVEY §7.0).
+
+    ``sizes``: optional precomputed ``groupBy(band_id, band_hash).count`` as
+    ``bucket_size`` — callers that also LOG oversized buckets pass the same
+    (persisted) relation here so the aggregation runs once, not twice.
     """
     if strategy == "join":
         if max_bucket_size is not None:
-            sizes = buckets.groupBy("band_id", "band_hash").agg(
-                F.count(F.lit(1)).alias("bucket_size")
-            )
+            if sizes is None:
+                sizes = buckets.groupBy("band_id", "band_hash").agg(
+                    F.count(F.lit(1)).alias("bucket_size")
+                )
             buckets = (
                 buckets.join(sizes, ["band_id", "band_hash"])
                 .filter(F.col("bucket_size") <= max_bucket_size)

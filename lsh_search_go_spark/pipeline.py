@@ -245,9 +245,15 @@ class DedupPipeline:
                 verified = hamming_verify(cands, signatures,
                                           cfg.hamming_threshold, "doc_key")
                 return map_back(verified, "src_id", "dst_id", ["hamming"])
-            dropped = oversized_buckets(buckets, cfg.max_bucket_size)
-            write_table(dropped, os.path.join(self.root, "dropped_buckets"))
-            cands = candidate_pairs(buckets, "doc_key", cfg.max_bucket_size)
+            # ONE bucket-size aggregation serves both the skew log and the
+            # cap filter (persisted; a second full groupBy pass was ~8% of
+            # the r2 pipeline's serial fraction)
+            sizes = buckets.groupBy("band_id", "band_hash").agg(
+                F.count(F.lit(1)).alias("bucket_size")).persist()
+            write_table(sizes.filter(F.col("bucket_size") > cfg.max_bucket_size),
+                        os.path.join(self.root, "dropped_buckets"))
+            cands = candidate_pairs(buckets, "doc_key", cfg.max_bucket_size,
+                                    sizes=sizes)
             verified = jaccard_verify(cands, signatures, cfg.jaccard_threshold,
                                       "doc_key", "shingles")
             return map_back(verified, "src_id", "dst_id",
@@ -255,19 +261,16 @@ class DedupPipeline:
 
         # ---- substring containment (suffix-array slot)
         def build_substring():
-            from lsh_search_go_spark.operators.substring import oversized_blocks
-
-            # skew log: blocking keys the cap will drop (license-header-style
-            # ubiquitous prefixes) — never silent
-            exploded_log = signatures.select(F.explode("shingles").alias("__sh"))
-            write_table(oversized_blocks(exploded_log, cfg.max_bucket_size),
-                        os.path.join(self.root, "dropped_blocks"))
+            # hot-blocking-key skew log (license-header-style prefixes) is
+            # written by substring_pairs itself from its one aggregation pass
+            dropped_sink = os.path.join(self.root, "dropped_blocks")
             if {"norm_text", "first_sh", "last_sh"} <= set(signatures.columns):
                 # fused path: everything needed is in signatures; run the
                 # joins in key space, map ids at the end (containment is
                 # directional — no canonical reordering)
                 kcfg = replace(cfg, id_col="doc_key")
-                keyed = substring_pairs(signatures, kcfg)
+                keyed = substring_pairs(signatures, kcfg,
+                                        dropped_sink=dropped_sink)
                 return (
                     keyed
                     .join(idmap.select(F.col("doc_key").alias("inner_id"),
@@ -279,7 +282,7 @@ class DedupPipeline:
                 )
             return substring_pairs(
                 ingest.join(signatures.select(cfg.id_col, "shingles"), cfg.id_col),
-                cfg,
+                cfg, dropped_sink=dropped_sink,
             )
 
         # pairs→clusters and substring are INDEPENDENT branches of the DAG

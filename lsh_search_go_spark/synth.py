@@ -231,7 +231,10 @@ def to_parquet(corpus: SynthCorpus, path: str) -> None:
             ("repo", "path", "commit", "lang", "content")}
     cols["doc_id"] = [doc_id_of(r["repo"], r["path"], r["commit"])
                       for r in corpus.rows]
-    pq.write_table(pa.table(cols), path)
+    # small row groups: Spark can only parallelize a parquet scan at
+    # row-group granularity — pyarrow's default (one giant group) would make
+    # the ingest scan + sha + salt projection a single task at any core count
+    pq.write_table(pa.table(cols), path, row_group_size=4096)
 
 
 def to_spark_df(spark, corpus: SynthCorpus):

@@ -192,3 +192,51 @@ def test_cc_driver_budget_is_width_aware(spark):
     assert b_str < b_num
     # budget shrinks with the byte budget
     assert _driver_row_budget(strs, 1 << 20) < b_str
+
+
+# --- HDF5 ingestion wiring (reference S1/S2; h5py absent in sandbox) --------
+
+def test_hdf5_ingestion_with_fake_module(tmp_path):
+    """The conversion path is exercised with an in-memory stand-in for h5py
+    (the real library is optional); outputs must mirror
+    PrepHdf5BenchDataset's tables."""
+    import numpy as np
+    import pandas as pd
+
+    from lsh_search_go_spark.sources import hdf5 as H5
+
+    rng = np.random.default_rng(0)
+    data = {
+        "train": rng.normal(size=(20, 4)).astype(np.float32),
+        "test": rng.normal(size=(5, 4)).astype(np.float32),
+        "neighbors": rng.integers(0, 20, size=(5, 3)).astype(np.int32),
+        "distances": rng.random(size=(5, 3)).astype(np.float32),
+    }
+
+    class FakeFile(dict):
+        def __init__(self, *_a, **_k):
+            super().__init__(data)
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    class FakeH5py:
+        File = FakeFile
+
+    paths = H5.dataset_to_parquet("ignored.hdf5", str(tmp_path), h5py_mod=FakeH5py)
+    train = pd.read_parquet(paths["train"])
+    assert len(train) == 20 and len(train.vec.iloc[0]) == 4
+    gt = pd.read_parquet(paths["ground_truth"])
+    assert list(gt.columns) == ["query_id", "rank", "neighbor_id", "dist"]
+    assert len(gt) == 15 and gt["rank"].max() == 3
+    assert gt[gt.query_id == 0].neighbor_id.tolist() == data["neighbors"][0].tolist()
+
+
+def test_hdf5_missing_dependency_is_explicit():
+    import pytest as _pytest
+
+    from lsh_search_go_spark.sources import hdf5 as H5
+
+    with _pytest.raises(NotImplementedError, match="h5py"):
+        H5._require_h5py()

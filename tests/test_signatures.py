@@ -163,6 +163,47 @@ def test_fused_matches_composed(spark, docs):
             assert comp[d][2] == fus[d][2], f"bands differ for {d}"
 
 
+def test_fused_matches_composed_strip_comments(spark):
+    """Fused byte-level tokenizer vs composed SQL with comment stripping ON
+    and adversarial whitespace (tabs, CRLF, vtab/formfeed, glued boundaries,
+    comment-only docs)."""
+    from lsh_search_go_spark.functions.signatures import with_signatures_fused
+
+    texts = [
+        "def f(x):\n    return x  # trailing comment\nprint(f(1))",
+        "#whole line comment\nreal code here",
+        "multi\t\ttabs\r\nand crlf\x0bvtab\x0cformfeed",
+        "#only comment no newline",
+        "a#b c\nd",
+        "## double hash\n#\nafter",
+        "",
+    ]
+    cfg = DedupConfig(strip_comments=True)
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, content string"
+    )
+    a, b = cfg.minhash_params
+    composed = (
+        S.with_shingles(docs2, cfg, "sql")
+        .withColumn("minhash", H.minhash_signature("shingles", a, b))
+        .persist()
+    )
+    fused = with_signatures_fused(docs2, cfg)
+    comp = {r.doc_id: (list(r.shingles), list(r.minhash))
+            for r in composed.select("doc_id", "shingles", "minhash").collect()}
+    fus = {r.doc_id: (list(r.shingles), list(r.minhash), r.norm_text)
+           for r in fused.select("doc_id", "shingles", "minhash",
+                                 "norm_text").collect()}
+    from lsh_search_go_spark.operators.substring import normalized_text_expr
+    norm_sql = {r.doc_id: r.n for r in docs2.select(
+        "doc_id", normalized_text_expr("content", cfg).alias("n")).collect()}
+    for d, (sh, mh) in comp.items():
+        assert fus[d][0] == sh, f"shingles differ for {d}"
+        if sh:
+            assert fus[d][1] == mh, f"minhash differ for {d}"
+        assert fus[d][2] == norm_sql[d], f"norm_text differs for {d}"
+
+
 def test_banded_hashes_three_way(spark, docs):
     a, b = CFG.minhash_params
     shingled = S.with_shingles(docs, CFG, "sql").filter("size(shingles) > 0")
