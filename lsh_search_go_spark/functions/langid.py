@@ -28,6 +28,26 @@ PROFILES = {
 EXT = {"py": "python", "go": "go", "java": "java", "js": "js", "c": "c", "h": "c"}
 
 
+def duck_lang_id(content_sql: str, cfg: DedupConfig) -> str:
+    """DuckDB mirror of the keyword-argmax fold (same language order, same
+    tie-break: first max wins over the alphabetically-sorted profile list)."""
+    from lsh_search_go_spark.functions.shingles import duck_tokens
+
+    toks = duck_tokens(content_sql, cfg.lowercase, cfg.strip_comments)
+    entries = []
+    for lang, kws in sorted(PROFILES.items()):
+        arr = "[" + ",".join(f"'{k}'" for k in kws) + "]"
+        entries.append(
+            f"{{'score': len(list_filter(list_distinct({toks}), "
+            f"t -> list_contains({arr}, t))), 'lang': '{lang}'}}"
+        )
+    return (
+        "list_reduce(list_prepend({'score': -1, 'lang': ''}, ["
+        + ",".join(entries)
+        + "]), (acc, s) -> case when s.score > acc.score then s else acc end).lang"
+    )
+
+
 def lang_id(df: DataFrame, cfg: DedupConfig, out_col: str = "lang_pred") -> DataFrame:
     """Adds ``lang_pred``: the language whose keyword profile overlaps the
     document's token set most (ties broken alphabetically; extension evidence

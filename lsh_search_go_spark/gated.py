@@ -24,6 +24,7 @@ from lsh_search_go_spark.config import DedupConfig
 from lsh_search_go_spark.functions import hashing as H
 from lsh_search_go_spark.functions import shingles as SHG
 from lsh_search_go_spark.functions import simhash as SIM
+from lsh_search_go_spark.functions import stats as ST
 from lsh_search_go_spark.functions import textstats as TS
 from lsh_search_go_spark.functions import vector as V
 from lsh_search_go_spark.operators import bands as B
@@ -76,8 +77,42 @@ def q_exact_dedup_groups(spark, sf_dir):
     return EX.exact_dup_groups(_docs(spark, sf_dir), "doc_id", "content")
 
 
+def q_exact_dup_pairs(spark, sf_dir):
+    """Canonical-representative star pairs of byte-identical docs (the edge
+    set CC consumes; avoids the full within-group self-join)."""
+    return EX.exact_dup_pairs(_docs(spark, sf_dir), "doc_id", "content")
+
+
 def q_doc_profile(spark, sf_dir):
     return TS.doc_profile(_docs(spark, sf_dir), CFG)
+
+
+def q_lang_id(spark, sf_dir):
+    """Keyword-profile language ID over the documents table (JVM-only
+    expressions — the no-per-row-Python training-data-pipeline operator)."""
+    from lsh_search_go_spark.functions.langid import lang_id
+
+    return lang_id(_docs(spark, sf_dir), CFG).select("doc_id", "lang_pred")
+
+
+def q_embedding_range(spark, sf_dir):
+    """A4 (GetFloat64Range, annbench.go:127-141): global min/max over all
+    vector components — exact (min/max are order-independent)."""
+    return ST.vector_range(_emb(spark, sf_dir), "embedding")
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """A1 (GetMeanStdSampled, helpers.go:44-80): per-dimension mean + the
+    reference's MAD-labeled-as-std quirk + true stddev.  Float aggregation
+    order differs between engines, so values are rounded to 6 dp for the
+    hash compare (differences are O(1e-15))."""
+    out = ST.dim_stats(_emb(spark, sf_dir), "embedding")
+    return out.select(
+        "dim",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("mad", 6).alias("mad_r"),
+        F.round("stddev", 6).alias("stddev_r"),
+    )
 
 
 def q_token_frequencies(spark, sf_dir):
@@ -411,6 +446,41 @@ select sha256(content) as content_sha, count(*) as n_dups, min(doc_id) as canoni
 from ({_duck_docs_cte()}) group by 1
 """
 
+    sql["exact_dup_pairs"] = f"""
+with sha as (select doc_id, sha256(content) as content_sha from ({_duck_docs_cte()})),
+reps as (select content_sha, min(doc_id) as src from sha group by 1)
+select r.src as src_id, s.doc_id as dst_id
+from sha s join reps r using (content_sha)
+where s.doc_id != r.src
+"""
+
+    from lsh_search_go_spark.functions.langid import duck_lang_id
+
+    sql["lang_id_pred"] = f"""
+select doc_id, {duck_lang_id('content', CFG)} as lang_pred
+from ({_duck_docs_cte()})
+"""
+
+    sql["embedding_range"] = """
+select min(list_min(embedding))::DOUBLE as vmin,
+       max(list_max(embedding))::DOUBLE as vmax
+from embeddings
+"""
+
+    sql["embedding_dim_stats"] = """
+with e as (
+  select unnest(range(len(embedding))) as dim,
+         unnest(embedding)::DOUBLE as x
+  from embeddings
+),
+m as (select dim, avg(x) as mean, stddev_pop(x) as stddev from e group by dim)
+select e.dim, round(m.mean, 6) as mean_r,
+       round(avg(abs(e.x - m.mean)), 6) as mad_r,
+       round(m.stddev, 6) as stddev_r
+from e join m using (dim)
+group by e.dim, m.mean, m.stddev
+"""
+
     sql["doc_profile"] = f"""
 select doc_id, {prof['n_tokens']} as n_tokens,
        {prof['n_distinct_tokens']} as n_distinct_tokens,
@@ -596,6 +666,10 @@ def _longify(fn: Callable[[SparkSession, str], DataFrame]):
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": _longify(q_exact_dedup_groups),
+        "exact_dup_pairs": _longify(q_exact_dup_pairs),
+        "lang_id_pred": _longify(q_lang_id),
+        "embedding_range": _longify(q_embedding_range),
+        "embedding_dim_stats": _longify(q_embedding_dim_stats),
         "doc_profile": _longify(q_doc_profile),
         "token_frequencies": _longify(q_token_frequencies),
         "shingle_profile": _longify(q_shingle_profile),
