@@ -48,6 +48,11 @@ def main() -> None:
                     choices=["minhash", "simhash"],
                     help="candidate generator: MinHash bands or SimHash "
                          "bit-slice bands (+Hamming verify)")
+    ap.add_argument("--simhash-bits", type=int, default=None,
+                    help="SimHash signature width (default 64; the simhash "
+                         "pairs strategy defaults to 128 so its 16 bands have "
+                         "8-bit domains while still exceeding the Hamming "
+                         "threshold — see DedupConfig validation)")
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets it otherwise)")
@@ -81,6 +86,8 @@ def main() -> None:
         jaccard_threshold=args.threshold,
         strip_comments=args.strip_comments,
         pairs_strategy=args.pairs_strategy,
+        simhash_bits=(args.simhash_bits if args.simhash_bits is not None
+                      else (128 if args.pairs_strategy == "simhash" else 64)),
     )
     source = read_table(spark, args.input)
     pipe = DedupPipeline(spark, cfg, args.workdir, impl=args.impl)

@@ -87,11 +87,30 @@ class DedupConfig:
             raise ValueError("simhash_bits must be a multiple of 32")
         if self.pairs_strategy not in ("minhash", "simhash"):
             raise ValueError(f"unknown pairs_strategy {self.pairs_strategy!r}")
-        if self.pairs_strategy == "simhash" and self.simhash_bands <= self.hamming_threshold:
-            raise ValueError(
-                "simhash_bands must exceed hamming_threshold for full recall "
-                f"({self.simhash_bands} <= {self.hamming_threshold})"
-            )
+        if self.pairs_strategy == "simhash":
+            if self.simhash_bands <= self.hamming_threshold:
+                raise ValueError(
+                    "simhash_bands must exceed hamming_threshold for full recall "
+                    f"({self.simhash_bands} <= {self.hamming_threshold})"
+                )
+            band_bits = self.simhash_bits // self.simhash_bands
+            if band_bits < 8:
+                # 4-bit bands have a 16-value domain: at corpus scale EVERY
+                # bucket overflows max_bucket_size and the cap silently drops
+                # all candidates (r2 review finding). 8 bits (256 values) is
+                # the floor for small corpora; use simhash_bits=256 with 16
+                # bands (16-bit domains) for web-scale runs.
+                # Joint constraint (Charikar-style banding): bands >
+                # hamming_threshold (pigeonhole recall) AND width >= 8
+                # together require simhash_bits >= 8*(hamming_threshold+1) —
+                # e.g. Google's 64-bit/4-band/ham<=3 config, or our
+                # 128-bit/16-band/ham<=10 default for --pairs-strategy simhash.
+                raise ValueError(
+                    f"simhash band width {band_bits} bits is too narrow for the "
+                    f"banded strategy (domain {1 << band_bits} values — buckets "
+                    "overflow at scale); raise simhash_bits so that "
+                    "simhash_bits / simhash_bands >= 8"
+                )
 
     # --- derived, deterministic hash-family parameters -------------------
     @property

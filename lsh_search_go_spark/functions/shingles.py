@@ -82,8 +82,11 @@ def _shingle_batch(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
         s = s.str.replace(r"#[^\n]*", " ", regex=True)
     if cfg.lowercase:
         s = s.str.lower()
-    stripped = s.str.strip()
-    tok_lists = stripped.str.split(r"\s+")
+    # Java/RE2 \s class explicitly — Python's \s also matches \x1c-\x1f and
+    # Unicode spaces, which would diverge from the SQL/DuckDB backends
+    ws = " \t\n\x0b\f\r"
+    stripped = s.str.strip(ws)
+    tok_lists = stripped.str.split(f"[{ws}]+")
     # after strip, split(\s+) yields [''] only for the empty string
     empty = stripped == ""
     if empty.any():

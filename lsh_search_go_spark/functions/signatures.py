@@ -34,6 +34,14 @@ SIG_STRUCT = T.StructType([
 ])
 
 
+# Java/RE2 \s — the separator class of the SQL backend and the DuckDB
+# oracle.  Python's \s additionally matches \x1c-\x1f and Unicode spaces;
+# using it here would make tokenization depend on which backend (or which
+# Arrow batch, via the non-ASCII fallback routing) processed a document.
+_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def _normalize_series(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
     """Normalized, single-space-joined token stream per doc — all C-level
     pandas string kernels, no per-token Python objects."""
@@ -42,7 +50,7 @@ def _normalize_series(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
         s = s.str.replace(r"#[^\n]*", " ", regex=True)
     if cfg.lowercase:
         s = s.str.lower()
-    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s.str.replace(_WS_CLASS + "+", " ", regex=True).str.strip(_WS_CHARS)
 
 
 def _tokenize_batch(texts: pd.Series, cfg: DedupConfig):

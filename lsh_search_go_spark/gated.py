@@ -62,7 +62,7 @@ def _shingled(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
     expression into every downstream reference (e.g. 128× per row under the
     MinHash transform), and the driver gate runs ~17 queries over the same
     relation — one persisted copy serves them all (r1 VERDICT #9)."""
-    key = (id(spark), sf_dir, impl)
+    key = (spark.sparkContext.applicationId, sf_dir, impl)
     if key not in _SHINGLED_CACHE:
         _SHINGLED_CACHE[key] = SHG.with_shingles(
             _docs(spark, sf_dir), CFG, impl).persist()
@@ -132,7 +132,7 @@ _SIGS_CACHE: dict = {}
 
 
 def _minhash_sigs(spark, sf_dir, impl):
-    key = (id(spark), sf_dir, impl)
+    key = (spark.sparkContext.applicationId, sf_dir, impl)
     if key not in _SIGS_CACHE:
         a, b = CFG.minhash_params
         _SIGS_CACHE[key] = (
@@ -242,8 +242,11 @@ def q_simhash_banded_dup_pairs(spark, sf_dir):
 
 
 def q_substring_containment(spark, sf_dir):
+    # max_block_size=0: the DuckDB oracle is UNCAPPED exact containment, so
+    # the gated query must not apply the skew cap (the capped path is covered
+    # by tests/test_extras.py::test_substring_block_cap_license_header)
     sh = _shingled(spark, sf_dir)
-    return SUB.substring_pairs(sh, CFG)
+    return SUB.substring_pairs(sh, CFG, max_block_size=0)
 
 
 def q_ann_topk_bruteforce(spark, sf_dir):
@@ -323,9 +326,11 @@ def ann_oracle_tables(sf_dir: str) -> str:
     ids = pdf["vec_id"].to_numpy(np.int64)
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     acfg = _ann_cfg(len(pdf))
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{acfg.config_hash}|v1".encode()
-    ).hexdigest()[:16]
+        f"{os.path.abspath(sf_dir)}|{acfg.config_hash}|"
+        f"{st.st_size}|{st.st_mtime_ns}|v1".encode()   # regenerated fixture data
+    ).hexdigest()[:16]                                 # must not reuse a stale model
     out_dir = os.path.join(tempfile.gettempdir(), f"lsh_ann_oracle_{key}")
     bpath = os.path.join(out_dir, "buckets.parquet")
     ppath = os.path.join(out_dir, "probes.parquet")

@@ -380,10 +380,15 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
+    collected = None
+    if hash_queries_on_driver or dist_impl == "matmul":
+        collected = _collect_queries(q)   # ONE driver round-trip, shared by
+                                          # probe hashing and matmul verify
     cands = candidate_pairs(q, buckets, model, id_col=id_col,
                             max_candidates=max_candidates,
                             broadcast_probes=broadcast_probes,
-                            hash_queries_on_driver=hash_queries_on_driver)
+                            hash_queries_on_driver=hash_queries_on_driver,
+                            _collected=collected)
     maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     if dist_impl == "matmul":
@@ -392,7 +397,8 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
         # from one vectorized gather per Arrow batch — halves the Arrow
         # traffic of the pairwise UDF (no per-pair __qvec copies) and removes
         # per-pair Python.  Same edge semantics as dist_udf (tol guards).
-        scored = _matmul_verify(q, c.join(maybe_bc(cands), "neighbor_id"), metric)
+        scored = _matmul_verify(q, c.join(maybe_bc(cands), "neighbor_id"), metric,
+                                collected=collected)
     else:
         joined = (
             c.join(maybe_bc(cands), "neighbor_id")      # corpus stays in place
@@ -409,14 +415,25 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
     return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")
 
 
+def _collect_queries(q: DataFrame) -> tuple[list, np.ndarray]:
+    """(query_id, __qvec) relation → (ids, matrix) on the driver."""
+    qrows = q.collect()
+    q_ids = [r[0] for r in qrows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    return q_ids, Q
+
+
 def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
                     id_col: str = "id",
                     max_candidates: int | None = None,
                     broadcast_probes: bool = True,
-                    hash_queries_on_driver: bool = True) -> DataFrame:
+                    hash_queries_on_driver: bool = True,
+                    _collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
     """Candidate generation: q(query_id, __qvec) × buckets → deduped
     (query_id, neighbor_id) pairs (Q1-Q4, /root/reference/lsh/lsh.go:140-172).
-    Public so benchmarks/metrics can count the pruned candidate set."""
+    Public so benchmarks/metrics can count the pruned candidate set.
+    ``_collected``: pre-collected (ids, matrix) from :func:`_collect_queries`
+    so ``search`` pays one driver round-trip, not two."""
     maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
     if hash_queries_on_driver:
         # the model lives on the driver and the query batch is small by
@@ -424,9 +441,7 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
         # getHashes (/root/reference/lsh/lsh.go:141) and saves two Spark
         # jobs + a Python-worker spin-up per search.
         spark = q.sparkSession
-        qrows = q.collect()
-        q_ids = [r[0] for r in qrows]
-        Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        q_ids, Q = _collected if _collected is not None else _collect_queries(q)
         hashes = hash_batch(Q, model) if len(q_ids) else np.zeros((0, 1), np.int64)
         n_trees = hashes.shape[1]
         ids_rep = np.repeat(np.arange(len(q_ids)), n_trees)
@@ -463,7 +478,8 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
     return cands
 
 
-def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str) -> DataFrame:
+def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
+                   collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
     """(query_id, __qvec) queries × (neighbor_id, __cvec, query_id) candidate
     rows → (query_id, neighbor_id, dist): distances via one numpy gather per
     Arrow batch against the broadcast query matrix (NNMock-with-BLAS shape,
@@ -471,9 +487,7 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str) -> DataFrame:
     from lsh_search_go_spark.config import TOL
 
     spark = q.sparkSession
-    qrows = q.collect()
-    q_ids = [r[0] for r in qrows]
-    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_ids, Q = collected if collected is not None else _collect_queries(q)
     bc = spark.sparkContext.broadcast((q_ids, Q))
     qtype = dict(q.dtypes)["query_id"]
     ctype = dict(joined.dtypes)["neighbor_id"]

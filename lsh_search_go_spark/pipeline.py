@@ -234,14 +234,23 @@ class DedupPipeline:
         def build_pairs():
             if cfg.pairs_strategy == "simhash":
                 from lsh_search_go_spark.functions.simhash import (
-                    simhash_candidate_pairs,
+                    simhash_band_hashes,
                 )
                 from lsh_search_go_spark.operators.verify import hamming_verify
 
                 signed = signatures.filter(F.size("shingles") > 0)
-                cands = simhash_candidate_pairs(
-                    signed, cfg, cfg.simhash_bands, "doc_key",
-                    max_bucket_size=cfg.max_bucket_size)
+                banded = signed.withColumn(
+                    "__sbands",
+                    simhash_band_hashes("simhash", cfg, cfg.simhash_bands))
+                sbuckets = explode_bands(banded, "doc_key", "__sbands")
+                # same one-aggregation skew-log+cap shape as the minhash branch
+                sizes = sbuckets.groupBy("band_id", "band_hash").agg(
+                    F.count(F.lit(1)).alias("bucket_size")).persist()
+                write_table(
+                    sizes.filter(F.col("bucket_size") > cfg.max_bucket_size),
+                    os.path.join(self.root, "dropped_buckets"))
+                cands = candidate_pairs(sbuckets, "doc_key",
+                                        cfg.max_bucket_size, sizes=sizes)
                 verified = hamming_verify(cands, signatures,
                                           cfg.hamming_threshold, "doc_key")
                 return map_back(verified, "src_id", "dst_id", ["hamming"])

@@ -89,3 +89,12 @@ def test_config_validation():
     with pytest.raises(ValueError):
         DedupConfig(num_perm=10, num_bands=3, rows_per_band=3)
     assert DedupConfig(seed=1).config_hash != DedupConfig(seed=2).config_hash
+
+
+def test_simhash_banded_strategy_band_width_guard():
+    """4-bit band domains overflow every bucket at corpus scale — the config
+    must reject them for the banded strategy (r2 review finding)."""
+    with pytest.raises(ValueError, match="band width"):
+        DedupConfig(pairs_strategy="simhash")  # 64 bits / 16 bands = 4 bits
+    cfg = DedupConfig(pairs_strategy="simhash", simhash_bits=128)
+    assert cfg.simhash_bits // cfg.simhash_bands == 8

@@ -192,7 +192,11 @@ def test_simhash_pairs_strategy_end_to_end(spark, source, tmp_path_factory):
     simhash_bands > hamming_threshold ⇒ candidate recall 1.0)."""
     from lsh_search_go_spark.functions.simhash import hamming_expr, with_simhash
 
-    cfg = DedupConfig(strip_comments=True, pairs_strategy="simhash")
+    # 128-bit signature: 16 bands of 8 bits — the minimum band domain the
+    # config validator admits for the banded strategy (4-bit bands overflow
+    # every bucket at scale)
+    cfg = DedupConfig(strip_comments=True, pairs_strategy="simhash",
+                      simhash_bits=128)
     workdir = str(tmp_path_factory.mktemp("simhash_pipe"))
     pipe = DedupPipeline(spark, cfg, workdir, impl="pandas")
     res = pipe.run(source, with_substring=False)

@@ -217,3 +217,32 @@ def test_banded_hashes_three_way(spark, docs):
     for r in rows:
         sig = H.minhash_np(np.array(r.shingles, dtype=np.int64), an, bn)
         assert H.banded_np(sig, CFG.num_bands, CFG.rows_per_band).tolist() == list(r.bands)
+
+
+def test_whitespace_class_matches_sql_backend(spark):
+    """\\x1c-\\x1f are NOT whitespace in Java/RE2 \\s (the SQL backend and
+    DuckDB oracle); the pandas paths must agree — and the fused fast path
+    must produce the same tokens whether or not a non-ASCII doc shares the
+    batch (r2 review finding)."""
+    from lsh_search_go_spark.functions.signatures import with_signatures_fused
+
+    texts = ["a\x1cb c", "x\x0by z"]          # \x1c: not ws; \x0b: ws
+    cfg = DedupConfig()
+    docs2 = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                  "doc_id int, content string")
+    sql_sh = _collect_shingles(S.with_shingles(docs2, cfg, "sql"))
+    pd_sh = _collect_shingles(S.with_shingles(docs2, cfg, "pandas"))
+    assert sql_sh == pd_sh
+    fused_ascii = {r.doc_id: list(r.shingles)
+                   for r in with_signatures_fused(docs2, cfg)
+                   .select("doc_id", "shingles").collect()}
+    assert fused_ascii == sql_sh
+    # same docs co-batched with a non-ASCII doc → fallback path, same result
+    docs3 = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[1]), (2, "ünïcode döc")],
+        "doc_id int, content string").coalesce(1)
+    fused_mixed = {r.doc_id: list(r.shingles)
+                   for r in with_signatures_fused(docs3, cfg)
+                   .select("doc_id", "shingles").collect()}
+    for d in (0, 1):
+        assert fused_mixed[d] == sql_sh[d], f"batch-composition-dependent doc {d}"
