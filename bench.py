@@ -62,8 +62,15 @@ def make_session(cpus: int):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_MASTER overrides for e.g. local-cluster[N,1,8192] — separate
+    # executor JVMs, the closest in-sandbox analog of N distinct executors
+    # (executor python workers need the repo on their PYTHONPATH: unlike
+    # local mode they don't inherit the driver's sys.path)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    repo = os.path.dirname(os.path.abspath(__file__))
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", repo)
         .appName("lsh_search_go_spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")

@@ -301,6 +301,91 @@ def q_ann_lsh_topk(spark, sf_dir):
                       F.round("dist", 9).alias("dist_r"))
 
 
+IVF_NPROBE = 4
+
+
+def _ivf_params(n: int) -> tuple[int, int, int]:
+    """(n_centroids, n_iters, seed) shared by the Spark gate query and the
+    numpy oracle — both must fit the identical coarse quantizer."""
+    return max(4, n // 50), 10, 42
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the target spec's 'IVF variant' of the
+    similarity-search scale path).  Fully oracle-gated by the same trick as
+    ann_lsh_topk: the k-means model is deterministic pure numpy, so
+    ``ivf_oracle_tables`` re-derives the inverted lists + probes and DuckDB
+    mirrors the join → exact cosine verify → top-k."""
+    from lsh_search_go_spark.operators import ivf
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    ).persist()
+    n = emb.count()
+    n_cent, n_iters, seed = _ivf_params(n)
+    sample = (emb.orderBy("id").limit(20000).toPandas()["vec"])
+    import numpy as np
+    X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    C = ivf.fit_centroids(X, n_cent, "cosine", n_iters, seed)
+    inverted = ivf.assign(emb, C, "cosine", "id", "vec")
+    queries = emb.filter(F.col("id") < ANN_N_QUERIES).select(
+        F.col("id").alias("query_id"), "vec")
+    out = ivf.search(queries, inverted, emb, C, k=ANN_K,
+                     max_dist=ANN_MAX_DIST, metric="cosine",
+                     nprobe=IVF_NPROBE)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("dist", 9).alias("dist_r"))
+
+
+def ivf_oracle_tables(sf_dir: str) -> str:
+    """Materialize the IVF oracle relations — inverted(vec_id, centroid_id)
+    and probes(query_id, centroid_id) — with pure pyarrow + numpy (the
+    identical seeded k-means the Spark gate fits).  Returns the directory."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lsh_search_go_spark.operators import ivf
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    n_cent, n_iters, seed = _ivf_params(len(pdf))
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|ivf|{n_cent}|{n_iters}|{seed}|"
+        f"{IVF_NPROBE}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"lsh_ivf_oracle_{key}")
+    ipath = os.path.join(out_dir, "inverted.parquet")
+    ppath = os.path.join(out_dir, "probes.parquet")
+    if os.path.exists(ipath) and os.path.exists(ppath):
+        return out_dir
+    C = ivf.fit_centroids(X[:20000], n_cent, "cosine", n_iters, seed)
+    inv = pd.DataFrame({"vec_id": ids,
+                        "centroid_id": ivf._assign_np(X, C, "cosine")
+                        .astype(np.int64)})
+    qmask = ids < ANN_N_QUERIES
+    pr = ivf.probe_centroids_np(X[qmask], C, IVF_NPROBE, "cosine")
+    probes = pd.DataFrame({
+        "query_id": np.repeat(ids[qmask], pr.shape[1]),
+        "centroid_id": pr.reshape(-1).astype(np.int64),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    for df, path in ((inv, ipath), (probes, ppath)):
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return out_dir
+
+
 def ann_oracle_tables(sf_dir: str) -> str:
     """Materialize the ANN oracle's model-derived relations as parquet —
     buckets(vec_id, tree_id, hash) for the whole corpus and
@@ -644,6 +729,30 @@ select query_id, rank, neighbor_id, round(dist, 9) as dist_r
 from ranked where rank <= {ANN_K}
 """
 
+    ivf_dir = ivf_oracle_tables(
+        _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+    sql["ivf_topk"] = f"""
+with inv as (select * from read_parquet('{ivf_dir}/inverted.parquet')),
+p as (select * from read_parquet('{ivf_dir}/probes.parquet')),
+cands as (
+  select p.query_id, inv.vec_id as neighbor_id
+  from p join inv on p.centroid_id = inv.centroid_id
+),
+scored as (
+  select c.query_id, c.neighbor_id, {cosq} as dist
+  from cands c
+  join embeddings q on q.vec_id = c.query_id
+  join embeddings n on n.vec_id = c.neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, dist,
+         row_number() over (partition by query_id order by dist asc, neighbor_id asc) as rank
+  from scored where dist <= {ANN_MAX_DIST}
+)
+select query_id, rank, neighbor_id, round(dist, 9) as dist_r
+from ranked where rank <= {ANN_K}
+"""
+
     cos2 = V.duck_cosine_dist("a.embedding", "b.embedding")
     sql["embedding_neardup_pairs"] = f"""
 select a.vec_id as src_id, b.vec_id as dst_id, round({cos2}, 9) as dist_r
@@ -691,5 +800,6 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_containment": _longify(q_substring_containment),
         "ann_topk_bruteforce": _longify(q_ann_topk_bruteforce),
         "ann_lsh_topk": _longify(q_ann_lsh_topk),
+        "ivf_topk": _longify(q_ivf_topk),
         "embedding_neardup_pairs": _longify(q_embedding_neardup_pairs),
     }

@@ -374,10 +374,6 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
 
     Returns (query_id, rank, neighbor_id, dist).
     """
-    from lsh_search_go_spark.functions.vector import (cosine_dist_expr, dist_udf,
-                                                      l2_dist_expr)
-    from lsh_search_go_spark.operators.topk import topk_per_query
-
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
     collected = None
@@ -389,7 +385,26 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
                             broadcast_probes=broadcast_probes,
                             hash_queries_on_driver=hash_queries_on_driver,
                             _collected=collected)
-    maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
+    return verify_topk(q, cands, corpus, k, max_dist, metric,
+                       id_col=id_col, vec_col=vec_col, dist_impl=dist_impl,
+                       broadcast_small=broadcast_probes, collected=collected)
+
+
+def verify_topk(q: DataFrame, cands: DataFrame, corpus: DataFrame,
+                k: int, max_dist: float, metric: str = "l2",
+                id_col: str = "id", vec_col: str = "vec",
+                dist_impl: str = "sql",
+                broadcast_small: bool = True,
+                collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
+    """Exact-verify + inclusive threshold + top-k over a candidate relation
+    (Q5-Q6, /root/reference/lsh/lsh.go:174-198) — shared by the LSH-forest
+    and IVF read paths.  ``q`` is (query_id, __qvec); ``cands`` is
+    (query_id, neighbor_id)."""
+    from lsh_search_go_spark.functions.vector import (cosine_dist_expr, dist_udf,
+                                                      l2_dist_expr)
+    from lsh_search_go_spark.operators.topk import topk_per_query
+
+    maybe_bc = F.broadcast if broadcast_small else (lambda df: df)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     if dist_impl == "matmul":
         # Benchmark-scale verify: the query MATRIX is broadcast once; each

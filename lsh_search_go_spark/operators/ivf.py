@@ -1,0 +1,141 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path the target spec lists alongside the LSH-bucketed variant.
+
+Shape mirrors the LSH forest operator exactly (same Spark physique, different
+candidate generator):
+
+* ``fit_centroids`` — driver-side seeded Lloyd k-means on a corpus sample
+  (spherical for cosine), deterministic and re-derivable engine-independently
+  (the same trick that lets DuckDB gate the LSH read path: the model is pure
+  numpy, so the oracle rebuilds it bit-for-bit);
+* ``assign`` — one ``mapInPandas`` matmul pass tagging each corpus vector
+  with its nearest centroid → the inverted lists relation
+  ``(id, centroid_id)`` (the analog of the bucket table,
+  /root/reference/store/kv/store.go:64-73);
+* ``search`` — queries ranked against centroids on the driver, top-``nprobe``
+  lists probed via a broadcast join, then the shared exact-verify + top-k
+  (ann.verify_topk — Q5/Q6 of the reference read path,
+  /root/reference/lsh/lsh.go:174-198).
+
+At 100 TB the inverted-list relation is as narrow as the LSH bucket table
+(two ints per row, no duplication across trees — 10× smaller than a 10-tree
+forest) and probing reads ``nprobe / n_centroids`` of the corpus when the
+lists are storage-partitioned by ``centroid_id``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lsh_search_go_spark.config import TOL
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n > TOL, n, 1.0)
+
+
+def fit_centroids(sample: np.ndarray, n_centroids: int, metric: str = "cosine",
+                  n_iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means → (n_centroids, dims) float64.  Deterministic:
+    init = seeded distinct row choice; ties in assignment break to the lowest
+    centroid index (np.argmax/argmin first-hit); empty clusters keep their
+    previous centroid.  Spherical (unit-norm centroids) for cosine."""
+    X = np.asarray(sample, dtype=np.float64)
+    if metric == "cosine":
+        X = _normalize_rows(X)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, X.shape[0])
+    C = X[rng.choice(X.shape[0], size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        a = _assign_np(X, C, metric)
+        for j in range(k):
+            members = X[a == j]
+            if members.shape[0]:
+                C[j] = members.mean(axis=0)
+        if metric == "cosine":
+            C = _normalize_rows(C)
+    return C
+
+
+def _assign_np(X: np.ndarray, C: np.ndarray, metric: str) -> np.ndarray:
+    """Nearest-centroid index per row — ONE matmul, deterministic ties."""
+    if metric == "cosine":
+        return np.argmax(_normalize_rows(X) @ C.T, axis=1)
+    sq = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * X @ C.T
+    return np.argmin(sq, axis=1)
+
+
+def probe_centroids_np(Q: np.ndarray, C: np.ndarray, nprobe: int,
+                       metric: str) -> np.ndarray:
+    """(nq, nprobe) centroid ids per query, best first, deterministic order
+    (score desc, centroid id asc via stable argsort of (-score, id))."""
+    if metric == "cosine":
+        score = _normalize_rows(Q) @ C.T
+    else:
+        score = -((Q * Q).sum(1)[:, None] + (C * C).sum(1)[None, :]
+                  - 2.0 * Q @ C.T)
+    order = np.argsort(-score, axis=1, kind="stable")
+    return order[:, : min(nprobe, C.shape[0])]
+
+
+def assign(df: DataFrame, centroids: np.ndarray, metric: str = "cosine",
+           id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """(id, vec) → inverted lists (id, centroid_id): one broadcast of the
+    centroid matrix + one matmul per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    in_df = df.select(id_col, vec_col)
+    schema = T.StructType([in_df.schema[id_col],
+                           T.StructField("centroid_id", T.IntegerType(), False)])
+
+    def gen(batches):
+        C = np.asarray(bc.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "centroid_id": _assign_np(X, C, metric)
+                                .astype(np.int32)})
+
+    return in_df.mapInPandas(gen, schema)
+
+
+def search(queries: DataFrame, inverted: DataFrame, corpus: DataFrame,
+           centroids: np.ndarray, k: int, max_dist: float,
+           metric: str = "cosine", nprobe: int = 4,
+           id_col: str = "id", vec_col: str = "vec",
+           query_id_col: str = "query_id", query_vec_col: str = "vec",
+           dist_impl: str = "sql") -> DataFrame:
+    """Batch IVF search: rank centroids driver-side → broadcast the
+    (query_id, centroid_id) probe relation into the inverted-list join →
+    shared exact verify + inclusive threshold + top-k.
+
+    Returns (query_id, rank, neighbor_id, dist)."""
+    from lsh_search_go_spark.operators.ann import _collect_queries, verify_topk
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("__qvec"))
+    collected = _collect_queries(q)
+    q_ids, Q = collected
+    spark = queries.sparkSession
+    qtype = dict(q.dtypes)["query_id"]
+    probes_np = probe_centroids_np(Q, np.asarray(centroids, np.float64),
+                                   nprobe, metric)
+    rows = [(q_ids[i], int(c)) for i in range(len(q_ids)) for c in probes_np[i]]
+    probes = spark.createDataFrame(rows, f"query_id {qtype}, centroid_id int")
+    cands = (
+        F.broadcast(probes)
+        .join(inverted.withColumnRenamed(id_col, "neighbor_id"), "centroid_id")
+        .select("query_id", "neighbor_id")
+        # lists are disjoint (one centroid per vector) → pairs are already
+        # distinct; no dedup shuffle needed, unlike the multi-tree forest
+    )
+    return verify_topk(q, cands, corpus, k, max_dist, metric,
+                       id_col=id_col, vec_col=vec_col, dist_impl=dist_impl,
+                       collected=collected)

@@ -1,0 +1,65 @@
+"""IVF coarse-quantizer ANN: recall vs brute force, determinism, and
+agreement of the three verify backends (shared ann.verify_topk)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_search_go_spark.operators import ivf
+from lsh_search_go_spark.operators.bruteforce import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def mixture(spark):
+    rng = np.random.default_rng(42)
+    centers = rng.normal(scale=10.0, size=(20, 16))
+    train = np.concatenate([c + rng.normal(scale=0.5, size=(100, 16)) for c in centers])
+    test = np.concatenate([c + rng.normal(scale=0.5, size=(5, 16)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(train)], "id long, vec array<double>"
+    ).cache()
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(test)],
+        "query_id long, vec array<double>",
+    ).cache()
+    return train, corpus, queries
+
+
+def test_fit_deterministic_and_assignment_total(mixture, spark):
+    train, corpus, _ = mixture
+    c1 = ivf.fit_centroids(train, 32, "cosine", seed=7)
+    c2 = ivf.fit_centroids(train, 32, "cosine", seed=7)
+    np.testing.assert_array_equal(c1, c2)
+    inv = ivf.assign(corpus, c1, "cosine")
+    rows = inv.groupBy("centroid_id").count().collect()
+    assert sum(r["count"] for r in rows) == train.shape[0]  # every vector listed once
+    assert all(0 <= r.centroid_id < 32 for r in rows)
+
+
+@pytest.mark.parametrize("metric,max_dist", [("cosine", 0.05), ("l2", 4.0)])
+def test_ivf_recall_vs_bruteforce(mixture, spark, metric, max_dist):
+    train, corpus, queries = mixture
+    C = ivf.fit_centroids(train, 20, metric, seed=42)
+    inv = ivf.assign(corpus, C, metric).cache()
+    pred = ivf.search(queries, inv, corpus, C, k=10, max_dist=max_dist,
+                      metric=metric, nprobe=3)
+    gt = brute_force_topk(corpus, queries, 10, metric,
+                          exclude_self=False).filter(F.col("dist") <= max_dist)
+    p = {(r.query_id, r.neighbor_id) for r in pred.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in gt.collect()}
+    assert g, "ground truth must be non-empty"
+    recall = len(p & g) / len(g)
+    assert recall >= 0.9, f"{metric}: recall {recall}"
+
+
+def test_ivf_dist_impls_agree(mixture, spark):
+    train, corpus, queries = mixture
+    C = ivf.fit_centroids(train, 16, "cosine", seed=1)
+    inv = ivf.assign(corpus, C, "cosine").cache()
+    res = {}
+    for impl in ("sql", "pandas", "matmul"):
+        res[impl] = {(r.query_id, r.rank, r.neighbor_id)
+                     for r in ivf.search(queries, inv, corpus, C, 5, 2.0,
+                                         "cosine", nprobe=2,
+                                         dist_impl=impl).collect()}
+    assert res["sql"] == res["pandas"] == res["matmul"]
