@@ -241,6 +241,18 @@ def q_simhash_banded_dup_pairs(spark, sf_dir):
     return hamming_verify(cands, sh, CFG.hamming_threshold, "doc_id")
 
 
+def q_event_window_stats(spark, sf_dir):
+    """Tumbling-window event stats over the events table — the BATCH form of
+    the watermarked streaming aggregation (streaming/windows.py); same
+    logical plan, so gating it certifies the streaming op's arithmetic."""
+    from lsh_search_go_spark.streaming.windows import windowed_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_stats(ev, "10 minutes", watermark=None)
+    return out.select("window_start", "window_end", "event_type", "n_events",
+                      F.round("total_value", 6).alias("total_value_r"))
+
+
 def q_substring_containment(spark, sf_dir):
     # max_block_size=0: the DuckDB oracle is UNCAPPED exact containment, so
     # the gated query must not apply the skew cap (the capped path is covered
@@ -672,6 +684,16 @@ join sigs sb on sb.doc_id = c.dst_id
 where {SIM.duck_hamming('sa.words', 'sb.words', nwords)} <= {CFG.hamming_threshold}
 """
 
+    sql["event_window_stats"] = """
+select time_bucket(interval '10 minutes', ts) as window_start,
+       time_bucket(interval '10 minutes', ts) + interval '10 minutes' as window_end,
+       event_type,
+       count(*) as n_events,
+       round(sum(value), 6) as total_value_r
+from events
+group by 1, 2, 3
+"""
+
     norm = f"array_to_string({toks}, ' ')"
     sql["substring_containment"] = f"""
 with n as (select doc_id, {norm} as nt from ({_duck_docs_cte()}))
@@ -798,6 +820,7 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _longify(q_simhash_dup_pairs),
         "simhash_banded_dup_pairs": _longify(q_simhash_banded_dup_pairs),
         "substring_containment": _longify(q_substring_containment),
+        "event_window_stats": _longify(q_event_window_stats),
         "ann_topk_bruteforce": _longify(q_ann_topk_bruteforce),
         "ann_lsh_topk": _longify(q_ann_lsh_topk),
         "ivf_topk": _longify(q_ivf_topk),

@@ -240,3 +240,60 @@ def test_hdf5_missing_dependency_is_explicit():
 
     with _pytest.raises(NotImplementedError, match="h5py"):
         H5._require_h5py()
+
+
+# --- watermarked window aggregation (streaming/windows.py) -------------------
+
+def test_windowed_stats_batch_matches_manual(spark, sf_dir):
+    from lsh_search_go_spark.streaming.windows import windowed_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = windowed_event_stats(ev, "10 minutes", watermark=None)
+    n = got.agg(F.sum("n_events")).collect()[0][0]
+    assert n == ev.count(), "every event lands in exactly one window"
+
+
+def test_windowed_stats_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode + watermark: a window is emitted once final, and events
+    later than the watermark are dropped — demonstrated across two
+    checkpointed streaming runs over a file source."""
+    import datetime as dt
+
+    from lsh_search_go_spark.streaming.windows import start_windowed_stats_stream
+
+    src = tmp_path / "events_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / name))
+
+    # run 1: events up to 01:00 → watermark advances to 00:55 (5 min)
+    write_file("f1", [(1, t0 + dt.timedelta(minutes=10), "a", 1.0),
+                      (2, t0 + dt.timedelta(minutes=12), "a", 2.0),
+                      (3, t0 + dt.timedelta(minutes=60), "a", 3.0)])
+    sink = str(tmp_path / "sink")
+    q1 = start_windowed_stats_stream(spark, str(src / "*"), ckpt, schema, sink,
+                                     "10 minutes", "5 minutes")
+    q1.awaitTermination(120)
+    run1 = {(r.window_start.minute, r.n_events)
+            for r in spark.read.parquet(sink).collect()}
+    # the 00:10 window is final (watermark 00:55) and emitted with both events
+    assert (10, 2) in run1
+
+    # run 2: one LATE event (00:11 < watermark) + one new + one flush
+    write_file("f2", [(4, t0 + dt.timedelta(minutes=11), "a", 9.0),   # late → dropped
+                      (5, t0 + dt.timedelta(minutes=65), "a", 4.0),
+                      (6, t0 + dt.timedelta(minutes=90), "a", 5.0)])  # flush
+    q2 = start_windowed_stats_stream(spark, str(src / "*"), ckpt, schema, sink,
+                                     "10 minutes", "5 minutes")
+    q2.awaitTermination(120)
+    run2 = {(r.window_start.minute, r.n_events)
+            for r in spark.read.parquet(sink).collect()} - run1
+    # the late event's window (00:10) must NOT re-emit or include event 4
+    assert not any(m == 10 for m, _ in run2), f"late event leaked: {run2}"
+    # the 01:00 window finalizes (watermark 01:25) with events 3 and 5 only
+    assert (0, 2) in run2, f"expected finalized 01:00 window, got {run2}"
