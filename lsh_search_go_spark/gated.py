@@ -249,8 +249,16 @@ def q_event_window_stats(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = windowed_event_stats(ev, "10 minutes", watermark=None)
-    return out.select("window_start", "window_end", "event_type", "n_events",
-                      F.round("total_value", 6).alias("total_value_r"))
+    # epoch micros, not raw timestamps: the value compare must not depend on
+    # either engine's session timezone rendering
+    # NTZ-safe epoch: micros since the naive epoch literal (unix_micros needs
+    # TIMESTAMP_LTZ and would re-introduce session-timezone dependence)
+    us = "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {})"
+    return out.select(
+        F.expr(us.format("window_start")).alias("window_start_us"),
+        F.expr(us.format("window_end")).alias("window_end_us"),
+        "event_type", "n_events",
+        F.round("total_value", 6).alias("total_value_r"))
 
 
 def q_substring_containment(spark, sf_dir):
@@ -685,8 +693,8 @@ where {SIM.duck_hamming('sa.words', 'sb.words', nwords)} <= {CFG.hamming_thresho
 """
 
     sql["event_window_stats"] = """
-select time_bucket(interval '10 minutes', ts) as window_start,
-       time_bucket(interval '10 minutes', ts) + interval '10 minutes' as window_end,
+select epoch_us(time_bucket(interval '10 minutes', ts)) as window_start_us,
+       epoch_us(time_bucket(interval '10 minutes', ts) + interval '10 minutes') as window_end_us,
        event_type,
        count(*) as n_events,
        round(sum(value), 6) as total_value_r
