@@ -306,6 +306,100 @@ def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition-pruned bucket store (the serving read path at 100 TB)
+# ---------------------------------------------------------------------------
+#
+# The reference's search is fast because its store is a hash map: a query
+# reads ~2·n_trees buckets and never touches the rest of the corpus
+# (/root/reference/store/kv/store.go:75-94).  The Spark-native equivalent of
+# that O(1) bucket access is STORAGE partition pruning: the bucket relation
+# is written partitioned by (tree_id, hash_pfx = pmod(hash, P)), and because
+# query hashing is driver-side, the probe keys are known BEFORE the scan —
+# the filter (tree_id, hash_pfx) ∈ probes reaches the file listing and a
+# small query batch reads only its probed partitions instead of the whole
+# bucket table.  Coverage fraction ≈ min(1, n_probes / (n_trees · P)).
+
+def write_bucket_store(buckets: DataFrame, path: str, id_col: str = "id",
+                       hash_partitions: int = 64) -> None:
+    """Materialize the bucket relation partitioned for probe-side pruning.
+    ``hash_partitions`` is persisted in ``_store_meta.json`` — the reader
+    derives partition keys from it, so a mismatch can never silently select
+    the wrong directories (probes whose pfx falls in a non-existent dir
+    would just miss their buckets, degrading recall without an error)."""
+    import json
+    import os
+
+    (buckets
+     .withColumn("hash_pfx", F.pmod(F.col("hash"), F.lit(hash_partitions)))
+     .repartition("tree_id", "hash_pfx")       # one file per partition dir
+     .write.mode("overwrite")
+     .partitionBy("tree_id", "hash_pfx")
+     .parquet(path))
+    with open(os.path.join(path, "_store_meta.json"), "w") as f:
+        json.dump({"hash_partitions": hash_partitions}, f)
+
+
+def _store_hash_partitions(path: str) -> int:
+    import json
+    import os
+
+    with open(os.path.join(path, "_store_meta.json")) as f:
+        return int(json.load(f)["hash_partitions"])
+
+
+def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
+                      model: HasherModel, k: int, max_dist: float,
+                      metric: str = "l2",
+                      id_col: str = "id", vec_col: str = "vec",
+                      query_id_col: str = "query_id", query_vec_col: str = "vec",
+                      dist_impl: str = "sql",
+                      max_candidates: int | None = None) -> DataFrame:
+    """Search against a :func:`write_bucket_store` layout.  Identical results
+    to :func:`search`; the difference is physical — the partition-pruning
+    predicate derived from the driver-hashed probes means only the probed
+    (tree_id, hash_pfx) directories are listed and scanned.  The partition
+    modulus comes from the store's own ``_store_meta.json``."""
+    hash_partitions = _store_hash_partitions(store_path)
+    spark = queries.sparkSession
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("__qvec"))
+    collected = _collect_queries(q)
+    q_ids, Q = collected
+    hashes = hash_batch(Q, model) if len(q_ids) else np.zeros((0, 1), np.int64)
+    flat = hashes.reshape(-1)
+    if model.cfg.multiprobe:
+        flat = np.concatenate([flat, msb_flip_np(flat)])
+    n_trees = hashes.shape[1]
+    trees = np.tile(np.tile(np.arange(n_trees), len(q_ids)),
+                    2 if model.cfg.multiprobe else 1)
+    probed = sorted({(int(t), int(h) % hash_partitions)
+                     for t, h in zip(trees, flat)})
+    store = spark.read.parquet(store_path)
+    if probed:
+        if len(probed) <= 256:
+            # exact disjunction of partition-key equalities — prunes to
+            # exactly the probed directories
+            from functools import reduce
+
+            pred = reduce(lambda a, b: a | b,
+                          [(F.col("tree_id") == t) & (F.col("hash_pfx") == p)
+                           for t, p in probed])
+        else:
+            # big batches: coarse per-column isin (a superset of the probed
+            # partitions) keeps the predicate small
+            pred = (F.col("tree_id").isin(sorted({t for t, _ in probed}))
+                    & F.col("hash_pfx").isin(sorted({p for _, p in probed})))
+        store = store.filter(pred)            # reaches the partition listing
+    buckets = store.select(id_col, "tree_id", "hash")
+    cands = candidate_pairs(q, buckets, model, id_col=id_col,
+                            max_candidates=max_candidates,
+                            _collected=collected)
+    return verify_topk(q, cands, corpus, k, max_dist, metric,
+                       id_col=id_col, vec_col=vec_col, dist_impl=dist_impl,
+                       collected=collected)
+
+
 def _msb_flip_expr(hash_col: str) -> str:
     """Multiprobe neighbor hash (/root/reference/lsh/lsh.go:148-153):
     pos = floor(log2(hash)) for hash > 0 else 0; neighbor = hash ^ (1<<pos).

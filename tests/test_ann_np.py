@@ -88,3 +88,33 @@ def test_ann_search_pandas_dist_and_cap(spark, vecs):
     for r in c1:
         per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_bucket_store_pruned_search_matches(spark, vecs, tmp_path):
+    """The partition-pruned store read path returns exactly the same results
+    as the in-memory bucket relation, and its scan carries PartitionFilters
+    (the Spark-native analog of the reference's O(1) bucket lookup)."""
+    corpus, queries = vecs
+    cfg = AnnConfig(n_trees=6, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
+    model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
+    buckets = ann.build_buckets(corpus, model)
+    store = str(tmp_path / "bucket_store")
+    ann.write_bucket_store(buckets, store, hash_partitions=16)
+
+    base = {(r.query_id, r.rank, r.neighbor_id)
+            for r in ann.search(queries, buckets, corpus, model, 5, 1e9,
+                                "l2").collect()}
+    one_q = queries.limit(1)
+    pruned_all = ann.search_from_store(queries, store, corpus, model, 5, 1e9,
+                                       "l2")
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in pruned_all.collect()}
+    assert got == base
+
+    # plan evidence: the store scan must prune on the partition columns
+    plan = (ann.search_from_store(one_q, store, corpus, model, 5, 1e9, "l2")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and ("tree_id" in pf.group(1) or "hash_pfx" in pf.group(1)), \
+        f"partition filter not pushed: {pf and pf.group(1)}"
