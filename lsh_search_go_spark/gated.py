@@ -322,6 +322,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 IVF_NPROBE = 4
+IVF_FIT_CAP = 20000   # fit-sample cap shared by the Spark gate and the oracle
 
 
 def _ivf_params(n: int) -> tuple[int, int, int]:
@@ -344,7 +345,7 @@ def q_ivf_topk(spark, sf_dir):
     ).persist()
     n = emb.count()
     n_cent, n_iters, seed = _ivf_params(n)
-    sample = (emb.orderBy("id").limit(20000).toPandas()["vec"])
+    sample = (emb.orderBy("id").limit(IVF_FIT_CAP).toPandas()["vec"])
     import numpy as np
     X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     C = ivf.fit_centroids(X, n_cent, "cosine", n_iters, seed)
@@ -381,14 +382,15 @@ def ivf_oracle_tables(sf_dir: str) -> str:
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|ivf|{n_cent}|{n_iters}|{seed}|"
-        f"{IVF_NPROBE}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"{IVF_NPROBE}|{IVF_FIT_CAP}|{ANN_N_QUERIES}|"
+        f"{st.st_size}|{st.st_mtime_ns}|v1".encode()
     ).hexdigest()[:16]
     out_dir = os.path.join(tempfile.gettempdir(), f"lsh_ivf_oracle_{key}")
     ipath = os.path.join(out_dir, "inverted.parquet")
     ppath = os.path.join(out_dir, "probes.parquet")
     if os.path.exists(ipath) and os.path.exists(ppath):
         return out_dir
-    C = ivf.fit_centroids(X[:20000], n_cent, "cosine", n_iters, seed)
+    C = ivf.fit_centroids(X[:IVF_FIT_CAP], n_cent, "cosine", n_iters, seed)
     inv = pd.DataFrame({"vec_id": ids,
                         "centroid_id": ivf._assign_np(X, C, "cosine")
                         .astype(np.int64)})

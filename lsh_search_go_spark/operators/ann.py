@@ -320,7 +320,7 @@ def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
 # small query batch reads only its probed partitions instead of the whole
 # bucket table.  Coverage fraction ≈ min(1, n_probes / (n_trees · P)).
 
-def write_bucket_store(buckets: DataFrame, path: str, id_col: str = "id",
+def write_bucket_store(buckets: DataFrame, path: str,
                        hash_partitions: int = 64) -> None:
     """Materialize the bucket relation partitioned for probe-side pruning.
     ``hash_partitions`` is persisted in ``_store_meta.json`` — the reader
@@ -366,13 +366,8 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
                        F.col(query_vec_col).alias("__qvec"))
     collected = _collect_queries(q)
     q_ids, Q = collected
-    hashes = hash_batch(Q, model) if len(q_ids) else np.zeros((0, 1), np.int64)
-    flat = hashes.reshape(-1)
-    if model.cfg.multiprobe:
-        flat = np.concatenate([flat, msb_flip_np(flat)])
-    n_trees = hashes.shape[1]
-    trees = np.tile(np.tile(np.arange(n_trees), len(q_ids)),
-                    2 if model.cfg.multiprobe else 1)
+    probe_arrays = driver_probe_arrays(Q, model, len(q_ids))
+    _, trees, flat = probe_arrays
     probed = sorted({(int(t), int(h) % hash_partitions)
                      for t, h in zip(trees, flat)})
     store = spark.read.parquet(store_path)
@@ -394,7 +389,8 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
     buckets = store.select(id_col, "tree_id", "hash")
     cands = candidate_pairs(q, buckets, model, id_col=id_col,
                             max_candidates=max_candidates,
-                            _collected=collected)
+                            _collected=collected,
+                            _probe_arrays=probe_arrays)
     return verify_topk(q, cands, corpus, k, max_dist, metric,
                        id_col=id_col, vec_col=vec_col, dist_impl=dist_impl,
                        collected=collected)
@@ -532,12 +528,34 @@ def _collect_queries(q: DataFrame) -> tuple[list, np.ndarray]:
     return q_ids, Q
 
 
+def driver_probe_arrays(Q: np.ndarray, model: HasherModel,
+                        n_queries: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The ONE definition of the driver-side probe set: (query_row_idx,
+    tree_id, hash) arrays incl. the multiprobe MSB-flip expansion.  Both the
+    probes relation (candidate_pairs) and the store partition-pruning set
+    (search_from_store) derive from this — the probe scheme must never exist
+    in two copies (a divergent pruning copy would silently exclude the
+    directories holding new probes' buckets)."""
+    hashes = hash_batch(Q, model) if n_queries else np.zeros((0, len(model.trees)),
+                                                             np.int64)
+    n_trees = hashes.shape[1]
+    ids_rep = np.repeat(np.arange(n_queries), n_trees)
+    trees = np.tile(np.arange(n_trees), n_queries)
+    flat = hashes.reshape(-1)
+    if model.cfg.multiprobe:
+        ids_rep = np.concatenate([ids_rep, ids_rep])
+        trees = np.concatenate([trees, trees])
+        flat = np.concatenate([flat, msb_flip_np(flat)])
+    return ids_rep, trees, flat
+
+
 def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
                     id_col: str = "id",
                     max_candidates: int | None = None,
                     broadcast_probes: bool = True,
                     hash_queries_on_driver: bool = True,
-                    _collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
+                    _collected: tuple[list, np.ndarray] | None = None,
+                    _probe_arrays=None) -> DataFrame:
     """Candidate generation: q(query_id, __qvec) × buckets → deduped
     (query_id, neighbor_id) pairs (Q1-Q4, /root/reference/lsh/lsh.go:140-172).
     Public so benchmarks/metrics can count the pruned candidate set.
@@ -551,15 +569,10 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
         # jobs + a Python-worker spin-up per search.
         spark = q.sparkSession
         q_ids, Q = _collected if _collected is not None else _collect_queries(q)
-        hashes = hash_batch(Q, model) if len(q_ids) else np.zeros((0, 1), np.int64)
-        n_trees = hashes.shape[1]
-        ids_rep = np.repeat(np.arange(len(q_ids)), n_trees)
-        trees = np.tile(np.arange(n_trees), len(q_ids))
-        flat = hashes.reshape(-1)
-        if model.cfg.multiprobe:
-            ids_rep = np.concatenate([ids_rep, ids_rep])
-            trees = np.concatenate([trees, trees])
-            flat = np.concatenate([flat, msb_flip_np(flat)])
+        if _probe_arrays is not None:
+            ids_rep, trees, flat = _probe_arrays
+        else:
+            ids_rep, trees, flat = driver_probe_arrays(Q, model, len(q_ids))
         qtype = dict(q.dtypes)["query_id"]
         probes = spark.createDataFrame(
             [(q_ids[i], int(t), int(h)) for i, t, h in zip(ids_rep, trees, flat)],

@@ -125,9 +125,13 @@ def search(queries: DataFrame, inverted: DataFrame, corpus: DataFrame,
     q_ids, Q = collected
     spark = queries.sparkSession
     qtype = dict(q.dtypes)["query_id"]
-    probes_np = probe_centroids_np(Q, np.asarray(centroids, np.float64),
-                                   nprobe, metric)
-    rows = [(q_ids[i], int(c)) for i in range(len(q_ids)) for c in probes_np[i]]
+    if q_ids:
+        probes_np = probe_centroids_np(Q, np.asarray(centroids, np.float64),
+                                       nprobe, metric)
+        rows = [(q_ids[i], int(c))
+                for i in range(len(q_ids)) for c in probes_np[i]]
+    else:
+        rows = []   # empty query batch → empty result, like ann.search
     probes = spark.createDataFrame(rows, f"query_id {qtype}, centroid_id int")
     cands = (
         F.broadcast(probes)
