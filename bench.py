@@ -243,6 +243,33 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
     extra["ann_pruning_ratio"] = round(n_emb * ann_q / max(n_cands, 1), 1)
     extra["ann_fixture_n"] = n_emb
     extra["ann_queries"] = ann_q
+
+    # 5b. IVF variant on the same fixture (coarse quantizer; nprobe/nlist
+    # governs the scan fraction)
+    from lsh_search_go_spark.operators import ivf
+    import numpy as np
+
+    def ivf_build():
+        sample = emb.orderBy("id").limit(20000).toPandas()["vec"]
+        X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+        C = ivf.fit_centroids(X, 1000, "cosine")
+        inv = ivf.assign(emb, C, "cosine").persist()
+        return C, inv.count(), inv
+
+    C, _, inv = timed("ivf_build", ivf_build)
+
+    def ivf_search():
+        return ivf.search(queries, inv, emb, C, k=10, max_dist=2.0,
+                          metric="cosine", nprobe=8, dist_impl="matmul")
+
+    ivf_search().count()         # untimed warm-up, like the LSH/brute legs
+    ivf_res = ivf_search().persist()
+    timed("ivf_search", lambda: ivf_res.count())
+    ivf_hit = ivf_res.join(bf_res, ["query_id", "neighbor_id"], "left_semi").count()
+    extra["ivf_recall_vs_bruteforce"] = round(ivf_hit / max(n_gt, 1), 4)
+    extra["ivf_nlist_nprobe"] = [1000, 8]
+    ivf_res.unpersist()
+    inv.unpersist()
     extra["ann_recall_vs_bruteforce"] = round(hit / max(n_gt, 1), 4)
     extra["ann_speedup"] = round(
         timings["ann_bruteforce_search"] / max(timings["ann_lsh_search"], 1e-9), 2)
