@@ -179,28 +179,33 @@ def simhash_band_hashes(sim_col: str, cfg: DedupConfig, n_bands: int = 8) -> Col
     Works on the word-array signature: band j covers bits
     [j*w, (j+1)*w) with w = simhash_bits / n_bands (w must divide 32 or be a
     multiple of it; enforced)."""
-    nbits = cfg.simhash_bits
+    w = _band_width(cfg.simhash_bits, n_bands)
+    per_word = 32 // w
+    # band j lives in word j//per_word, bit offset (j%per_word)*w
+    expr = (
+        f"transform(sequence(0, {n_bands - 1}), j -> "
+        f"(element_at({sim_col}, cast(j / {per_word} as int) + 1) "
+        f">> ((j % {per_word}) * {w})) & {(1 << w) - 1})"
+    )
+    return F.expr(expr)
+
+
+def _band_width(nbits: int, n_bands: int) -> int:
+    """Validated band width shared by the Spark and DuckDB band helpers.
+    Widths above 32 bits are rejected outright: a multi-word band hash
+    (acc * 2^32 + word) can reach 2^64 and silently wraps int64 in Spark
+    while DuckDB raises a BIGINT overflow — the two engines would diverge.
+    One-word-or-narrower bands are exact in both."""
     if nbits % n_bands != 0:
         raise ValueError("n_bands must divide simhash_bits")
     w = nbits // n_bands
-    if not (32 % w == 0 or w % 32 == 0):
+    if w > 32:
+        raise ValueError(
+            f"band width {w} > 32 bits would overflow int64 band hashes; "
+            f"use n_bands >= {nbits // 32}")
+    if 32 % w != 0:
         raise ValueError("band width must align with 32-bit words")
-    if w <= 32:
-        per_word = 32 // w
-        # band j lives in word j//per_word, bit offset (j%per_word)*w
-        expr = (
-            f"transform(sequence(0, {n_bands - 1}), j -> "
-            f"(element_at({sim_col}, cast(j / {per_word} as int) + 1) "
-            f">> ((j % {per_word}) * {w})) & {(1 << w) - 1})"
-        )
-    else:
-        words_per_band = w // 32
-        combine = (
-            f"aggregate(slice({sim_col}, j * {words_per_band} + 1, {words_per_band}), "
-            f"cast(0 as bigint), (acc, x) -> acc * 4294967296 + x)"
-        )
-        expr = f"transform(sequence(0, {n_bands - 1}), j -> {combine})"
-    return F.expr(expr)
+    return w
 
 
 def simhash_candidate_pairs(df: DataFrame, cfg: DedupConfig,
@@ -242,23 +247,10 @@ def duck_band_expr(words_sql: str, cfg: DedupConfig, n_bands: int,
                    band_var: str = "j") -> str:
     """DuckDB mirror of :func:`simhash_band_hashes` for one band index
     ``band_var`` (0-based): the band's bit-slice value from the word array."""
-    nbits = cfg.simhash_bits
-    if nbits % n_bands != 0:
-        raise ValueError("n_bands must divide simhash_bits")
-    w = nbits // n_bands
-    if w <= 32:
-        if 32 % w != 0:
-            raise ValueError("band width must align with 32-bit words")
-        per_word = 32 // w
-        return (f"({words_sql}[({band_var} // {per_word}) + 1] "
-                f">> (({band_var} % {per_word}) * {w})) & {(1 << w) - 1}")
-    words_per_band = w // 32
-    return (
-        f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_slice({words_sql}, {band_var} * {words_per_band} + 1, "
-        f"({band_var} + 1) * {words_per_band})), "
-        f"(acc, x) -> acc * 4294967296 + x)"
-    )
+    w = _band_width(cfg.simhash_bits, n_bands)
+    per_word = 32 // w
+    return (f"({words_sql}[({band_var} // {per_word}) + 1] "
+            f">> (({band_var} % {per_word}) * {w})) & {(1 << w) - 1}")
 
 
 def duck_hamming(col1: str, col2: str, nwords: int) -> str:

@@ -548,7 +548,20 @@ where len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.s
 """
 
 
-def oracle_sql_map() -> dict[str, str]:
+def oracle_sql_map(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle SQL per gate.  ``sf_dir`` matters only for the ANN/IVF
+    gates, whose oracle parquet (model-derived buckets/probes/lists) is
+    materialized against a concrete corpus: it MUST be the same directory
+    the Spark side of the comparison queries, or the gate compares models
+    fit on different corpora and fails (loudly).  Defaults to
+    $SPARK_GRAFT_ORACLE_SF_DIR, then the driver's sf0.01 — the driver runs
+    both sides at sf0.01, so the defaults line up there; any other harness
+    should pass its sf_dir explicitly instead of relying on the env var
+    (r2 ADVICE)."""
+    if sf_dir is None:
+        import os as _os
+        sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                 "/root/testdata/sf0.01")
     t = CFG.jaccard_threshold
     prof = TS.duck_doc_profile_exprs("content", CFG)
     sql: dict[str, str] = {}
@@ -734,10 +747,7 @@ from ranked where rank <= {ANN_K}
     # the identical seeded forest the Spark query fits — and the post-hash
     # read path (bucket join → exact cosine verify → top-k,
     # /root/reference/lsh/lsh.go:148-198) is mirrored in SQL.
-    import os as _os
-
-    ann_dir = ann_oracle_tables(
-        _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+    ann_dir = ann_oracle_tables(sf_dir)
     cosq = V.duck_cosine_dist("n.embedding", "q.embedding")
     sql["ann_lsh_topk"] = f"""
 with b as (select * from read_parquet('{ann_dir}/buckets.parquet')),
@@ -761,8 +771,7 @@ select query_id, rank, neighbor_id, round(dist, 9) as dist_r
 from ranked where rank <= {ANN_K}
 """
 
-    ivf_dir = ivf_oracle_tables(
-        _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+    ivf_dir = ivf_oracle_tables(sf_dir)
     sql["ivf_topk"] = f"""
 with inv as (select * from read_parquet('{ivf_dir}/inverted.parquet')),
 p as (select * from read_parquet('{ivf_dir}/probes.parquet')),

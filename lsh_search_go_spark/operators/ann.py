@@ -323,29 +323,33 @@ def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
 def write_bucket_store(buckets: DataFrame, path: str,
                        hash_partitions: int = 64) -> None:
     """Materialize the bucket relation partitioned for probe-side pruning.
-    ``hash_partitions`` is persisted in ``_store_meta.json`` — the reader
-    derives partition keys from it, so a mismatch can never silently select
-    the wrong directories (probes whose pfx falls in a non-existent dir
-    would just miss their buckets, degrading recall without an error)."""
-    import json
-    import os
+    ``hash_partitions`` is persisted in the ``_store_meta`` sub-dataset — the
+    reader derives partition keys from it, so a mismatch can never silently
+    select the wrong directories (probes whose pfx falls in a non-existent
+    dir would just miss their buckets, degrading recall without an error).
 
+    The meta rides as a one-row JSON dataset written THROUGH Spark (not
+    local ``open()``), so the store works unchanged on HDFS/S3/GCS paths
+    (r2 ADVICE).  The leading underscore keeps Hadoop's hidden-path filter
+    from surfacing it in the parquet scan, and ``mode("overwrite")`` on
+    both writes means a re-layout can never leave a stale modulus behind."""
+    spark = buckets.sparkSession
     (buckets
      .withColumn("hash_pfx", F.pmod(F.col("hash"), F.lit(hash_partitions)))
      .repartition("tree_id", "hash_pfx")       # one file per partition dir
      .write.mode("overwrite")
      .partitionBy("tree_id", "hash_pfx")
      .parquet(path))
-    with open(os.path.join(path, "_store_meta.json"), "w") as f:
-        json.dump({"hash_partitions": hash_partitions}, f)
+    (spark.createDataFrame([(int(hash_partitions),)], "hash_partitions int")
+     .coalesce(1).write.mode("overwrite").json(_meta_path(path)))
 
 
-def _store_hash_partitions(path: str) -> int:
-    import json
-    import os
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "/_store_meta"
 
-    with open(os.path.join(path, "_store_meta.json")) as f:
-        return int(json.load(f)["hash_partitions"])
+
+def _store_hash_partitions(spark, path: str) -> int:
+    return int(spark.read.json(_meta_path(path)).head()["hash_partitions"])
 
 
 def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
@@ -360,8 +364,8 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
     predicate derived from the driver-hashed probes means only the probed
     (tree_id, hash_pfx) directories are listed and scanned.  The partition
     modulus comes from the store's own ``_store_meta.json``."""
-    hash_partitions = _store_hash_partitions(store_path)
     spark = queries.sparkSession
+    hash_partitions = _store_hash_partitions(spark, store_path)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
     collected = _collect_queries(q)
@@ -372,19 +376,13 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
                      for t, h in zip(trees, flat)})
     store = spark.read.parquet(store_path)
     if probed:
-        if len(probed) <= 256:
-            # exact disjunction of partition-key equalities — prunes to
-            # exactly the probed directories
-            from functools import reduce
-
-            pred = reduce(lambda a, b: a | b,
-                          [(F.col("tree_id") == t) & (F.col("hash_pfx") == p)
-                           for t, p in probed])
-        else:
-            # big batches: coarse per-column isin (a superset of the probed
-            # partitions) keeps the predicate small
-            pred = (F.col("tree_id").isin(sorted({t for t, _ in probed}))
-                    & F.col("hash_pfx").isin(sorted({p for _, p in probed})))
+        # EXACT pruning at any probe count: one isin over the combined key
+        # tree_id * P + hash_pfx — an expression of partition columns only,
+        # so it is evaluated against the directory values during file
+        # listing (PartitionFilters) and selects exactly the probed
+        # directories, never a cartesian superset (r2 VERDICT task 6).
+        combined = F.col("tree_id") * F.lit(hash_partitions) + F.col("hash_pfx")
+        pred = combined.isin([t * hash_partitions + p for t, p in probed])
         store = store.filter(pred)            # reaches the partition listing
     buckets = store.select(id_col, "tree_id", "hash")
     cands = candidate_pairs(q, buckets, model, id_col=id_col,
@@ -431,7 +429,7 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
            dist_impl: str = "sql",
            max_candidates: int | None = None,
            broadcast_probes: bool = True,
-           hash_queries_on_driver: bool = True) -> DataFrame:
+           hash_queries_on_driver: bool | None = None) -> DataFrame:
     """Batch search: hash queries → (multiprobe) probe expansion → bucket
     join → pair dedup → [deterministic candidate cap] → exact verify →
     inclusive threshold → top-k.
@@ -460,10 +458,18 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
       the corpus is probed hash-side rather than shuffled.
     Set ``broadcast_probes=False`` for huge query batches where the probe /
     candidate relations stop fitting in a broadcast (falls back to shuffle
-    joins; same results).
+    joins; same results).  ``hash_queries_on_driver`` defaults to FOLLOW
+    ``broadcast_probes`` (r2 ADVICE): declaring the batch too big to
+    broadcast also means it is too big to collect to the driver, so the
+    huge-batch escape hatch keeps hashing distributed too — pass an explicit
+    True/False to decouple them.  ``dist_impl="matmul"`` still collects the
+    query matrix regardless (that is its definition; don't pair it with
+    driver-hostile batch sizes).
 
     Returns (query_id, rank, neighbor_id, dist).
     """
+    if hash_queries_on_driver is None:
+        hash_queries_on_driver = broadcast_probes
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
     collected = None

@@ -119,15 +119,18 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     row budget derived from ``driver_budget_bytes`` (64 MB default); pass
     ``driver_threshold`` (rows) to override, or 0 to force the distributed
     path."""
-    if not edges.take(1):
+    if driver_threshold is None:
+        driver_threshold = _driver_row_budget(edges, driver_budget_bytes)
+    # one probe job answers both "is it empty?" and "does it fit the driver
+    # budget?" (limit pushes down, so this never scans past threshold+1 rows)
+    probe = edges.limit(driver_threshold + 1).count()
+    if probe == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id string, cluster_id string").select(
             F.col("doc_id").cast(dict(edges.dtypes)["src_id"]),
             F.col("cluster_id").cast(dict(edges.dtypes)["src_id"]),
         )
-    if driver_threshold is None:
-        driver_threshold = _driver_row_budget(edges, driver_budget_bytes)
-    if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
+    if driver_threshold and probe <= driver_threshold:
         return _driver_cc(edges)
     e = edges.select("src_id", "dst_id").distinct().localCheckpoint()
     prev = None

@@ -21,25 +21,62 @@ from pyspark.sql import functions as F
 def windowed_event_stats(events: DataFrame, window: str = "10 minutes",
                          watermark: str | None = "30 minutes",
                          ts_col: str = "ts",
-                         type_col: str = "event_type") -> DataFrame:
-    """(window_start, window_end, event_type, n_events, total_value).
+                         type_col: str = "event_type",
+                         value_col: str | None = "value") -> DataFrame:
+    """(window_start, window_end, event_type, n_events[, total_value]).
 
     With ``watermark`` set and a streaming source, append-mode output emits a
     window only once it is final (watermark passed) and silently drops events
     later than the watermark — exactly-once per window.  Pass
     ``watermark=None`` for batch use (watermarks are streaming-only state
-    bounds; on a batch plan the call is a no-op anyway)."""
+    bounds; on a batch plan the call is a no-op anyway).
+
+    ``value_col`` names the numeric column summed into ``total_value``; pass
+    ``None`` (or leave the default on a frame without a 'value' column) to
+    emit counts only."""
     df = events
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    if value_col is not None and value_col not in df.columns:
+        value_col = None
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out_cols = [F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                type_col, "n_events"]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+        out_cols.append("total_value")
     return (
         df.groupBy(F.window(ts_col, window).alias("w"), F.col(type_col))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum("value").alias("total_value"))
-        .select(F.col("w.start").alias("window_start"),
-                F.col("w.end").alias("window_end"),
-                type_col, "n_events", "total_value")
+        .agg(*aggs)
+        .select(*out_cols)
     )
+
+
+def _guard_window_config(spark, checkpoint_dir: str, window: str,
+                         watermark: str) -> None:
+    """Persist (window, watermark) next to the checkpoint and refuse to
+    restart with different values.  Spark CANNOT detect a changed window
+    duration across a restart — the window-struct state schema is identical,
+    so stale state from the old window size would silently mix with new
+    windows in the same sink.  Config rides as a one-row JSON dataset
+    (works on HDFS/S3, same pattern as the bucket store's meta)."""
+    cfg_path = checkpoint_dir.rstrip("/") + "/_window_config"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(cfg_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        row = spark.read.json(cfg_path).head()
+        if (row["window"], row["watermark"]) != (window, watermark):
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir!r} was written with "
+                f"window={row['window']!r} watermark={row['watermark']!r}; "
+                f"restarting with window={window!r} watermark={watermark!r} "
+                "would silently mix window state — use a fresh checkpoint "
+                "dir (and sink) to change the window config")
+    else:
+        (spark.createDataFrame([(window, watermark)],
+                               "window string, watermark string")
+         .coalesce(1).write.mode("overwrite").json(cfg_path))
 
 
 def start_windowed_stats_stream(spark, source_dir: str, checkpoint_dir: str,
@@ -48,7 +85,10 @@ def start_windowed_stats_stream(spark, source_dir: str, checkpoint_dir: str,
                                 watermark: str = "30 minutes"):
     """File-source → append-mode parquet sink (fault-tolerant: the watermark
     state lives in the checkpoint, so a restarted query keeps dropping events
-    older than the recovered watermark).  Returns the StreamingQuery."""
+    older than the recovered watermark).  Refuses to resume a checkpoint
+    written with a different window/watermark config (see
+    :func:`_guard_window_config`).  Returns the StreamingQuery."""
+    _guard_window_config(spark, checkpoint_dir, window, watermark)
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = windowed_event_stats(stream, window, watermark)
     return (

@@ -118,3 +118,38 @@ def test_bucket_store_pruned_search_matches(spark, vecs, tmp_path):
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and ("tree_id" in pf.group(1) or "hash_pfx" in pf.group(1)), \
         f"partition filter not pushed: {pf and pf.group(1)}"
+
+
+def test_bucket_store_big_probe_batch_exact_pruning(spark, vecs, tmp_path):
+    """>256 distinct probed partitions: the combined-key isin
+    (tree_id * P + hash_pfx) must stay an EXACT partition filter — not the
+    old cartesian per-column superset — and return identical results
+    (r2 VERDICT task 6)."""
+    corpus, _ = vecs
+    cfg = AnnConfig(n_trees=12, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
+    model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
+    buckets = ann.build_buckets(corpus, model)
+    store = str(tmp_path / "big_store")
+    P = 128
+    ann.write_bucket_store(buckets, store, hash_partitions=P)
+
+    # every corpus point as a query → thousands of probe keys
+    queries = corpus.select(F.col("id").alias("query_id"), "vec")
+    q_ids, Q = ann._collect_queries(
+        queries.select("query_id", F.col("vec").alias("__qvec")))
+    _, trees, flat = ann.driver_probe_arrays(Q, model, len(q_ids))
+    probed = {(int(t), int(h) % P) for t, h in zip(trees, flat)}
+    assert len(probed) > 256, f"fixture too small: {len(probed)} probed partitions"
+
+    base = {(r.query_id, r.rank, r.neighbor_id)
+            for r in ann.search(queries, buckets, corpus, model, 3, 1e9,
+                                "l2").collect()}
+    got_df = ann.search_from_store(queries, store, corpus, model, 3, 1e9, "l2")
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in got_df.collect()}
+    assert got == base
+
+    import re
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "tree_id" in pf.group(1) and "hash_pfx" in pf.group(1), \
+        f"combined partition key not pushed: {pf and pf.group(1)}"

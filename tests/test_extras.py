@@ -297,3 +297,55 @@ def test_windowed_stats_watermark_drops_late_events(spark, tmp_path):
     assert not any(m == 10 for m, _ in run2), f"late event leaked: {run2}"
     # the 01:00 window finalizes (watermark 01:25) with events 3 and 5 only
     assert (0, 2) in run2, f"expected finalized 01:00 window, got {run2}"
+
+
+def test_windowed_stats_value_col_optional(spark, sf_dir):
+    """value_col is parameterized: frames without a 'value' column aggregate
+    counts only instead of throwing AnalysisException (r2 ADVICE)."""
+    from lsh_search_go_spark.streaming.windows import windowed_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    no_value = ev.drop("value")
+    got = windowed_event_stats(no_value, "10 minutes", watermark=None)
+    assert "total_value" not in got.columns
+    assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    # explicit value_col still works
+    renamed = ev.withColumnRenamed("value", "amount")
+    got2 = windowed_event_stats(renamed, "10 minutes", watermark=None,
+                                value_col="amount")
+    assert "total_value" in got2.columns
+
+
+def test_windowed_stream_refuses_changed_window_config(spark, tmp_path):
+    """A stale checkpoint + a different window size must fail loudly —
+    Spark itself cannot detect the change (identical state schema) and
+    would silently mix old- and new-width windows (r2 VERDICT task 8)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from lsh_search_go_spark.streaming.windows import start_windowed_stats_stream
+
+    src = tmp_path / "events_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame([(1, t0, "a", 1.0)], schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "f1"))
+    sink = str(tmp_path / "sink")
+    q1 = start_windowed_stats_stream(spark, str(src / "*"), ckpt, schema, sink,
+                                     "10 minutes", "5 minutes")
+    q1.awaitTermination(120)
+
+    with _pytest.raises(ValueError, match="window state"):
+        start_windowed_stats_stream(spark, str(src / "*"), ckpt, schema, sink,
+                                    "15 minutes", "5 minutes")
+    with _pytest.raises(ValueError, match="window state"):
+        start_windowed_stats_stream(spark, str(src / "*"), ckpt, schema, sink,
+                                    "10 minutes", "30 minutes")
+
+    # unchanged config resumes fine
+    q2 = start_windowed_stats_stream(spark, str(src / "*"), ckpt, schema, sink,
+                                     "10 minutes", "5 minutes")
+    q2.awaitTermination(120)
