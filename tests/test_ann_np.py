@@ -58,19 +58,20 @@ def test_dist_udf_matches_expr(spark, metric):
 
 @pytest.mark.parametrize("metric", ["l2", "cosine"])
 def test_ann_search_dist_impls_agree(spark, vecs, metric):
-    """All three verify backends (JVM fold / pairwise Arrow UDF / broadcast
-    query-matrix gather) return the same neighbors at the same ranks."""
+    """All four verify backends (JVM fold / pairwise Arrow UDF / broadcast
+    query-matrix gather / grouped gram-matrix) return the same neighbors at
+    the same ranks."""
     corpus, queries = vecs
     cfg = AnnConfig(n_trees=8, k_min_vecs=30, dims=12, seed=42, sample_size=1000,
                     is_angular=(metric == "cosine"))
     model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
     buckets = ann.build_buckets(corpus, model).cache()
     res = {}
-    for impl in ("sql", "pandas", "matmul"):
+    for impl in ("sql", "pandas", "matmul", "matmul_grouped"):
         res[impl] = {(r.query_id, r.rank, r.neighbor_id)
                      for r in ann.search(queries, buckets, corpus, model, 5, 1e9,
                                          metric, dist_impl=impl).collect()}
-    assert res["sql"] == res["pandas"] == res["matmul"]
+    assert res["sql"] == res["pandas"] == res["matmul"] == res["matmul_grouped"]
 
 
 def test_ann_search_pandas_dist_and_cap(spark, vecs):

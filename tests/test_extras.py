@@ -86,6 +86,70 @@ def test_multimodal_feature_plumbing(spark):
         MM.real_decode(b"x", "image")
 
 
+def test_media_neardup_end_to_end_with_user_decoder(spark):
+    """Contract test for the decoder hook (r2 VERDICT task 5): a
+    user-supplied decoder for a real (if simple) byte format feeds the
+    embedding near-dup + IVF operators end-to-end — media → features →
+    near-dup pairs — with planted near-duplicate images recovered exactly.
+
+    The 'codec' here is a pure-Python raw-grayscale format (b'IMG1' + w + h
+    + pixels): no external codec library, but a genuine decode step (header
+    parse, reshape, block-mean features), unlike fake_decode's payload
+    hash — near-duplicate PIXELS map to nearby features, which is the
+    property the dedup stack needs from any real decoder."""
+    import numpy as np
+
+    from lsh_search_go_spark.operators import ivf
+    from lsh_search_go_spark.operators.bruteforce import threshold_pairs
+
+    W = H_ = 16
+
+    def encode(pixels: np.ndarray) -> bytes:
+        return b"IMG1" + bytes([W, H_]) + pixels.astype(np.uint8).tobytes()
+
+    def user_decoder(payload: bytes, kind: str) -> np.ndarray:
+        assert payload[:4] == b"IMG1", "not an IMG1 payload"
+        w, h = payload[4], payload[5]
+        px = np.frombuffer(payload[6:], dtype=np.uint8).reshape(h, w)
+        # 32-dim feature: means of 32 row-blocks of 8 pixels
+        f = px.astype(np.float64).reshape(MM.FEATURE_DIM, -1).mean(axis=1)
+        n = np.linalg.norm(f)
+        return (f / (n if n > 0 else 1.0)).astype(np.float32)
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(6):
+        base = rng.integers(0, 256, size=(H_, W))
+        noise = np.clip(base + rng.integers(-4, 5, size=(H_, W)), 0, 255)
+        rows.append((f"img{i}_a", "image", encode(base), {}))
+        rows.append((f"img{i}_b", "image", encode(noise), {}))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    feats = MM.extract_features(media, decoder=user_decoder).cache()
+    assert feats.count() == 12
+
+    # features → near-dup pairs: only the planted (a, b) partners collide
+    pairs = threshold_pairs(feats, 0.002, "cosine",
+                            id_col="media_id", vec_col="feature")
+    got = {(r.src_id, r.dst_id) for r in pairs.collect()}
+    want = {(f"img{i}_a", f"img{i}_b") for i in range(6)}
+    assert got == want, f"planted near-dup pairs not recovered: {got}"
+
+    # features → IVF ANN: each item's top-1 (excluding self) is its partner
+    fvec = feats.select("media_id", F.col("feature").cast("array<double>")
+                        .alias("vec"))
+    X = np.array([r.vec for r in fvec.collect()])
+    C = ivf.fit_centroids(X, 4, "cosine", seed=5)
+    inv = ivf.assign(fvec, C, "cosine", id_col="media_id")
+    qs = fvec.select(F.col("media_id").alias("query_id"), "vec")
+    res = ivf.search(qs, inv, fvec, C, k=2, max_dist=1e9, metric="cosine",
+                     nprobe=2, id_col="media_id")
+    top1 = {r.query_id: r.neighbor_id for r in res.collect() if r.rank == 2}
+    partner = {f"img{i}_{s}": f"img{i}_{'b' if s == 'a' else 'a'}"
+               for i in range(6) for s in "ab"}
+    assert all(top1[m] == partner[m] for m in partner), top1
+
+
 def test_streaming_incremental_ingest(spark, tmp_path):
     """Drop two file batches into the source dir; the streaming query must
     append signatures+buckets that exactly match the batch pipeline's for the

@@ -52,6 +52,55 @@ def test_ivf_recall_vs_bruteforce(mixture, spark, metric, max_dist):
     assert recall >= 0.9, f"{metric}: recall {recall}"
 
 
+def test_ivf_hot_centroid_skew(spark):
+    """One centroid holding ~30% of corpus mass (the real-corpus hot-list
+    shape, r2 VERDICT task 4): recall must hold for queries inside AND
+    outside the hot region, and the physical plan must show the skew-proof
+    shape — broadcast probe join (no shuffle for a hot list to skew) and
+    WindowGroupLimit bounding the per-query top-k shuffle."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(scale=10.0, size=(16, 16))
+    hot = centers[0] + rng.normal(scale=0.5, size=(2400, 16))
+    cold = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(400, 16)) for c in centers[1:]])
+    train = np.concatenate([hot, cold])
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(train)],
+        "id long, vec array<double>").cache()
+    # quantizer = the true centers: guarantees list 0 carries the hot mass
+    C = np.asarray(centers, dtype=np.float64)
+    inv = ivf.assign(corpus, C, "l2").cache()
+    counts = {r.centroid_id: r["count"]
+              for r in inv.groupBy("centroid_id").count().collect()}
+    assert max(counts.values()) / train.shape[0] >= 0.25, \
+        f"fixture not skewed: {counts}"
+
+    # queries from the hot cluster and from cold ones
+    qvecs = np.concatenate([
+        centers[0] + rng.normal(scale=0.5, size=(10, 16)),
+        np.concatenate([centers[1 + j] + rng.normal(scale=0.5, size=(1, 16))
+                        for j in range(10)]),
+    ])
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qvecs)],
+        "query_id long, vec array<double>").cache()
+
+    pred = ivf.search(queries, inv, corpus, C, k=10, max_dist=1e9,
+                      metric="l2", nprobe=3)
+    gt = brute_force_topk(corpus, queries, 10, "l2", exclude_self=False)
+    p = {(r.query_id, r.neighbor_id) for r in pred.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in gt.collect()}
+    recall = len(p & g) / len(g)
+    assert recall >= 0.95, f"hot-centroid recall {recall}"
+
+    plan = (ivf.search(queries, inv, corpus, C, k=10, max_dist=1e9,
+                       metric="l2", nprobe=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "hot list would concentrate a shuffle"
+    assert "WindowGroupLimit" in plan, "top-k must pre-limit per partition"
+
+
 def test_ivf_dist_impls_agree(mixture, spark):
     train, corpus, queries = mixture
     C = ivf.fit_centroids(train, 16, "cosine", seed=1)
