@@ -111,6 +111,16 @@ class DedupConfig:
                     "overflow at scale); raise simhash_bits so that "
                     "simhash_bits / simhash_bands >= 8"
                 )
+            if band_bits > 32:
+                # multi-word band hashes (acc*2^32+word) can reach 2^64:
+                # Spark wraps int64 silently while DuckDB raises — the
+                # engines would diverge (r2 ADVICE; simhash._band_width
+                # enforces the same bound at expression-build time)
+                raise ValueError(
+                    f"simhash band width {band_bits} > 32 bits would overflow "
+                    f"int64 band hashes; use simhash_bands >= "
+                    f"{self.simhash_bits // 32}"
+                )
 
     # --- derived, deterministic hash-family parameters -------------------
     @property
