@@ -69,22 +69,30 @@ def _make_fmnist_shaped(out_dir: str) -> None:
     (/root/reference/annbench/annbench_test.go:140-150).  Ground truth =
     exact top-10 L2 in chunked numpy, published as the neighbors/distances
     matrices exactly like a real ann-benchmarks file."""
+    _make_annbench_shaped(out_dir, n_proto=6_000, per_proto=10, n_test=1_000,
+                          dims=784, sig_a=35.0, sig_b=10.0)
+
+
+def _make_annbench_shaped(out_dir: str, n_proto: int, per_proto: int,
+                          n_test: int, dims: int, sig_a: float, sig_b: float,
+                          n_classes: int = 10, k: int = 10,
+                          seed: int = 42) -> None:
+    """Three-level geometry: class centers (uniform [0,255]^dims) →
+    prototypes (σ_a per dim) → per-prototype variants (σ_b).  The prototype
+    level is what real descriptor datasets have and a flat gaussian mixture
+    lacks: genuine LOCAL neighbor structure (top-10 NN at ≈sqrt(2·dims)·σ_b,
+    next-nearest cross-prototype ≈sqrt(2·dims·(σ_a²+σ_b²))) — in a flat
+    mixture all same-class points are near-equidistant, hyperplanes split
+    true neighbors independently, and no LSH (ours or the reference's) can
+    reach its published recall.  Exact top-k ground truth in chunked numpy,
+    published as neighbors/distances matrices like a real ann-benchmarks
+    file."""
     import numpy as np
 
     from lsh_search_go_spark.sources import hdf5 as H5
 
-    rng = np.random.default_rng(42)
-    n_proto, per_proto, n_test, dims, n_classes, k = 6_000, 10, 1_000, 784, 10, 10
+    rng = np.random.default_rng(seed)
     n_train = n_proto * per_proto
-    # three-level geometry: class centers (uniform pixel space) → 6,000
-    # prototype images per-class (σ=35) → 10 variants per prototype (σ=10).
-    # The prototype level is what real FMNIST has and a flat gaussian
-    # mixture lacks: genuine LOCAL neighbor structure (top-10 NN at ≈377
-    # px-L2, next-nearest cross-prototype ≈1440, cross-class ≈3070) — a
-    # flat mixture makes all same-class points near-equidistant, so
-    # hyperplanes split true neighbors independently and no LSH (ours or
-    # the reference's) can reach its published 0.95 on it.
-    sig_a, sig_b = 35.0, 10.0
     centers = rng.uniform(0.0, 255.0, size=(n_classes, dims))
     proto_cls = rng.integers(0, n_classes, n_proto)
     protos = np.clip(centers[proto_cls]
@@ -127,16 +135,49 @@ def _make_fmnist_shaped(out_dir: str) -> None:
         def File(path, mode):
             return _FakeFile(mats)
 
-    H5.dataset_to_parquet("fmnist_shaped.hdf5", out_dir, h5py_mod=_FakeH5)
+    H5.dataset_to_parquet("annbench_shaped.hdf5", out_dir, h5py_mod=_FakeH5)
 
 
 def run_fmnist(spark) -> dict:
-    """The reference's headline ann-benchmarks experiment at its own config
-    (NTrees 10, KMinVecs 200, MaxDist 2200, MaxCandidates 5000, k=10,
-    ε=0.05 — /root/reference/annbench/annbench_test.go:129-150) on the
-    full-scale FMNIST-shaped dataset.  Reports train s, avg search ms/query
-    and ε-approximate precision/recall, comparable row-for-row with
-    /root/reference/README.md:150-154."""
+    """The reference's headline ann-benchmarks experiment at its own FMNIST
+    config (NTrees 10, KMinVecs 200, MaxDist 2200, MaxCandidates 5000,
+    k=10, ε=0.05 — /root/reference/annbench/annbench_test.go:129-150) on
+    the full-scale FMNIST-shaped dataset; comparable row-for-row with
+    /root/reference/README.md:150-154.  Full-fidelity fit: the forest is
+    fit on the WHOLE 60k train set like the reference's Train
+    (lsh/lsh.go:107-136)."""
+    return _run_annbench(
+        spark, tag="fmnist", dir_name="fmnist_shaped_60k_784_v2",
+        gen=lambda d: _make_fmnist_shaped(d),
+        n_trees=10, k_min_vecs=200, dims=784, fit_sample=None,
+        max_dist=2200.0, max_candidates=5000)
+
+
+def run_siftlike(spark) -> dict:
+    """The reference's SIFT-1M experiment at its own config (NTrees 40,
+    KMinVecs 300, MaxDist 300, MaxCandidates 10000 —
+    /root/reference/annbench/annbench_test.go:188-198;
+    README.md:156-160) on a 1M × 128d SIFT-shaped dataset (descriptor-range
+    values, prototype structure, σ_b=13 → top-10 NN ≈208, cross-prototype
+    ≈597 > MaxDist).  One honest departure: the forest fits on a 100k
+    sample with KMinVecs scaled by sample/corpus (30), giving the same
+    corpus-level leaf occupancy as the reference's full-corpus fit — a
+    1M×128 driver fit is minutes of pure memory streaming for identical
+    bucket geometry."""
+    return _run_annbench(
+        spark, tag="sift", dir_name="sift_shaped_1m_128_v1",
+        gen=lambda d: _make_annbench_shaped(
+            d, n_proto=100_000, per_proto=10, n_test=1_000, dims=128,
+            sig_a=35.0, sig_b=13.0),
+        n_trees=40, k_min_vecs=30, dims=128, fit_sample=100_000,
+        max_dist=300.0, max_candidates=10_000)
+
+
+def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
+                  k_min_vecs: int, dims: int, fit_sample: int | None,
+                  max_dist: float, max_candidates: int) -> dict:
+    """Shared ann-benchmarks runner: train (fit + bucket build), LSH search,
+    exact search, ε=0.05 distance-based P/R vs the published ground truth."""
     from pyspark.sql import functions as F
 
     from lsh_search_go_spark.config import AnnConfig
@@ -146,10 +187,10 @@ def run_fmnist(spark) -> dict:
 
     timings: dict[str, float] = {}
     extra: dict = {}
-    out_dir = os.path.join(_scratch_dir(), "fmnist_shaped_60k_784_v2")
+    out_dir = os.path.join(_scratch_dir(), dir_name)
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
-        _make_fmnist_shaped(out_dir)
+        gen(out_dir)
         with open(marker, "w") as f:
             f.write("ok")
 
@@ -162,34 +203,34 @@ def run_fmnist(spark) -> dict:
     gt = spark.read.parquet(f"{out_dir}/ground_truth.parquet").cache()
     gt.count()
 
-    # full-fidelity reference config: fit on the WHOLE train set, like
-    # the reference's Train over all vectors (lsh/lsh.go:107-136)
-    acfg = AnnConfig(n_trees=10, k_min_vecs=200, dims=784, is_angular=False,
-                     seed=42, sample_size=n_train)
+    acfg = AnnConfig(n_trees=n_trees, k_min_vecs=k_min_vecs, dims=dims,
+                     is_angular=False, seed=42,
+                     sample_size=fit_sample or n_train)
     t0 = time.time()
     model = ann.fit_from_df(train, acfg, "vec")
     buckets = ann.build_buckets(train, model, "id", "vec").persist()
     buckets.count()
-    timings["fmnist_lsh_train"] = round(time.time() - t0, 3)
+    timings[f"{tag}_lsh_train"] = round(time.time() - t0, 3)
 
     def lsh():
-        # matmul_grouped: at 784 dims the pairwise verify's per-candidate
+        # matmul_grouped: at wide dims the pairwise verify's per-candidate
         # vector shipping dominates (tens of GB); grouped ships each touched
         # corpus vector once
         return ann.search(queries, buckets, train, model, k=10,
-                          max_dist=2200.0, metric="l2",
-                          dist_impl="matmul_grouped", max_candidates=5000)
+                          max_dist=max_dist, metric="l2",
+                          dist_impl="matmul_grouped",
+                          max_candidates=max_candidates)
 
     lsh().count()          # untimed warm-up (worker pool + cache scan)
     res = lsh().persist()
     t0 = time.time()
     res.count()
-    timings["fmnist_lsh_search"] = round(time.time() - t0, 3)
+    timings[f"{tag}_lsh_search"] = round(time.time() - t0, 3)
     p, r = distance_based_precision_recall(res, gt, epsilon=0.05)
-    extra["fmnist_lsh_precision"] = round(p, 4)
-    extra["fmnist_lsh_recall"] = round(r, 4)
-    extra["fmnist_lsh_search_ms_per_query"] = round(
-        timings["fmnist_lsh_search"] / n_q * 1000, 2)
+    extra[f"{tag}_lsh_precision"] = round(p, 4)
+    extra[f"{tag}_lsh_recall"] = round(r, 4)
+    extra[f"{tag}_lsh_search_ms_per_query"] = round(
+        timings[f"{tag}_lsh_search"] / n_q * 1000, 2)
 
     def bf():
         return brute_force_topk_np(train, queries, 10, "l2",
@@ -199,16 +240,18 @@ def run_fmnist(spark) -> dict:
     bf_res = bf().persist()
     t0 = time.time()
     bf_res.count()
-    timings["fmnist_exact_search"] = round(time.time() - t0, 3)
+    timings[f"{tag}_exact_search"] = round(time.time() - t0, 3)
     pb, rb = distance_based_precision_recall(bf_res, gt, epsilon=0.05)
-    extra["fmnist_exact_precision"] = round(pb, 4)
-    extra["fmnist_exact_recall"] = round(rb, 4)
-    extra["fmnist_exact_search_ms_per_query"] = round(
-        timings["fmnist_exact_search"] / n_q * 1000, 2)
-    extra["fmnist_n_train"] = n_train
-    extra["fmnist_n_test"] = n_q
-    extra["fmnist_config"] = {"n_trees": 10, "k_min_vecs": 200,
-                              "max_dist": 2200, "max_candidates": 5000,
+    extra[f"{tag}_exact_precision"] = round(pb, 4)
+    extra[f"{tag}_exact_recall"] = round(rb, 4)
+    extra[f"{tag}_exact_search_ms_per_query"] = round(
+        timings[f"{tag}_exact_search"] / n_q * 1000, 2)
+    extra[f"{tag}_n_train"] = n_train
+    extra[f"{tag}_n_test"] = n_q
+    extra[f"{tag}_config"] = {"n_trees": n_trees, "k_min_vecs": k_min_vecs,
+                              "fit_sample": fit_sample or n_train,
+                              "max_dist": max_dist,
+                              "max_candidates": max_candidates,
                               "k": 10, "epsilon": 0.05}
     res.unpersist()
     bf_res.unpersist()
@@ -498,6 +541,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--fmnist-only", action="store_true")
+    ap.add_argument("--siftlike-only", action="store_true")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -512,6 +556,8 @@ def main() -> None:
         res = run_pipeline_only(spark, args.cpus)
     elif args.fmnist_only:
         res = run_fmnist(spark)
+    elif args.siftlike_only:
+        res = run_siftlike(spark)
     else:
         res = run_headline(spark, args.sf_dir, args.cpus)
     total = round(time.time() - t0, 3)

@@ -622,19 +622,32 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
                 "hash",
                 F.explode(F.array(F.col("hash"), F.expr(_msb_flip_expr("hash")))),
             )
-    cands = (
-        maybe_bc(probes)
-        .join(buckets.withColumnRenamed(id_col, "neighbor_id"),
-              ["tree_id", "hash"])
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])  # closestSet analog (lsh/lsh.go:142)
-    )
-    if max_candidates is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("query_id").orderBy(F.asc("neighbor_id"))
-        cands = (cands.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") <= max_candidates).drop("__rn"))
-    return cands
+    matched = maybe_bc(probes).join(
+        buckets.withColumnRenamed(id_col, "neighbor_id"), ["tree_id", "hash"])
+    if max_candidates is None:
+        return (matched.select("query_id", "neighbor_id")
+                .dropDuplicates(["query_id", "neighbor_id"]))  # closestSet analog (lsh/lsh.go:142)
+    # Deterministic cap that MATCHES the reference's arrival-order semantics
+    # in what it keeps: the reference scans trees in order and stops adding
+    # once maxCandidates distinct ids are seen (lsh/lsh.go:145,163-166), so
+    # survivors are biased toward ids found in the EARLIEST trees — and a
+    # query's true neighbors sit in its bucket in almost every tree, so they
+    # arrive first.  Ordering by bare neighbor_id (the r1-r2 scheme) is
+    # neighbor-AGNOSTIC: once candidates ≫ cap (e.g. the reference's SIFT
+    # config: ~36k candidates, cap 10k) it keeps a uniform id sample and
+    # recall collapses to cap/candidates.  (first_tree, neighbor_id) is
+    # fully deterministic, reproducible across engines, and keeps the same
+    # neighbors the reference's early exit keeps.
+    from pyspark.sql import Window
+
+    agg = (matched.select("query_id", "neighbor_id", "tree_id")
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.min("tree_id").alias("__first_tree")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("__first_tree"),
+                                               F.asc("neighbor_id"))
+    return (agg.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_candidates)
+            .select("query_id", "neighbor_id"))
 
 
 def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
