@@ -98,6 +98,46 @@ def test_ann_search_huge_batch_path_matches(spark, vecs):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
 
 
+def test_cap_keeps_true_neighbors_when_binding(spark):
+    """When candidates ≫ max_candidates, the deterministic cap must keep
+    what the reference's arrival-order early exit keeps: true neighbors
+    (present in the FIRST trees' buckets), not a uniform id sample.
+    Guards the r3 finding that bare-neighbor_id ordering collapses recall
+    to ~cap/candidates at the reference's SIFT config."""
+    rng = np.random.default_rng(9)
+    # prototype-structured corpus: true NN are locally clustered
+    protos = rng.normal(scale=10.0, size=(300, 16))
+    train = np.repeat(protos, 10, 0) + rng.normal(scale=0.3, size=(3000, 16))
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(train)],
+        "id long, vec array<double>").cache()
+    cfg = AnnConfig(n_trees=10, k_min_vecs=150, dims=16, seed=42,
+                    sample_size=3000)
+    model = ann.fit(train, cfg)
+    buckets = ann.build_buckets(corpus, model).cache()
+    queries = spark.createDataFrame(
+        [(int(i), (protos[i] + rng.normal(scale=0.3, size=16)).tolist())
+         for i in range(40)], "query_id long, vec array<double>")
+
+    # cap far below the candidate count (leaves ~150-300 × 10 trees × 2)
+    q_df = queries.select("query_id", F.col("vec").alias("__qvec"))
+    uncapped = ann.candidate_pairs(q_df, buckets, model).groupBy(
+        "query_id").count().agg(F.avg("count")).collect()[0][0]
+    cap = 100
+    assert uncapped > 3 * cap, f"fixture too easy: avg {uncapped} candidates"
+
+    res = ann.search(queries, buckets, corpus, model, k=10, max_dist=1e9,
+                     metric="l2", max_candidates=cap)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # each query's true top-10 = its prototype's 10 members
+    hits = sum(len(got.get(q, set()) & set(range(q * 10, q * 10 + 10)))
+               for q in range(40))
+    recall = hits / (40 * 10)
+    assert recall >= 0.9, f"cap dropped true neighbors: recall {recall}"
+
+
 def test_ann_search_pandas_dist_and_cap(spark, vecs):
     corpus, queries = vecs
     cfg = AnnConfig(n_trees=8, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
