@@ -124,22 +124,71 @@ def assign(df: DataFrame, centroids: np.ndarray, metric: str = "cosine",
     return in_df.mapInPandas(gen, schema)
 
 
+def write_list_store(inverted: DataFrame, path: str) -> None:
+    """Materialize the inverted lists partitioned by ``centroid_id`` — the
+    IVF serving layout (mirrors ``ann.write_bucket_store``).  Because
+    centroid ranking is driver-side, a query batch's probed list ids are
+    known BEFORE the scan, so :func:`search_from_store` pushes
+    ``centroid_id IN (...)`` into the file listing and reads only
+    ``≈ n_probed_lists / n_centroids`` of the store."""
+    (inverted
+     .repartition("centroid_id")               # one file per list dir
+     .write.mode("overwrite")
+     .partitionBy("centroid_id")
+     .parquet(path))
+
+
+def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
+                      centroids: np.ndarray, k: int, max_dist: float,
+                      metric: str = "cosine", nprobe: int = 4,
+                      id_col: str = "id", vec_col: str = "vec",
+                      query_id_col: str = "query_id", query_vec_col: str = "vec",
+                      dist_impl: str = "sql") -> DataFrame:
+    """Identical results to :func:`search`; physically, only the probed
+    ``centroid_id`` directories of a :func:`write_list_store` layout are
+    listed and scanned (PartitionFilters)."""
+    from lsh_search_go_spark.operators.ann import _collect_queries
+
+    spark = queries.sparkSession
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("__qvec"))
+    collected = _collect_queries(q)
+    q_ids, Q = collected
+    if q_ids:
+        probes_np = probe_centroids_np(np.asarray(Q, np.float64),
+                                       np.asarray(centroids, np.float64),
+                                       nprobe, metric)
+        probed = sorted({int(c) for row in probes_np for c in row})
+    else:
+        probed = []
+    inverted = spark.read.parquet(store_path)
+    if probed:
+        inverted = inverted.filter(F.col("centroid_id").isin(probed))
+    return search(queries, inverted.select(id_col, "centroid_id"), corpus,
+                  centroids, k, max_dist, metric, nprobe,
+                  id_col, vec_col, query_id_col, query_vec_col, dist_impl,
+                  _collected=collected)
+
+
 def search(queries: DataFrame, inverted: DataFrame, corpus: DataFrame,
            centroids: np.ndarray, k: int, max_dist: float,
            metric: str = "cosine", nprobe: int = 4,
            id_col: str = "id", vec_col: str = "vec",
            query_id_col: str = "query_id", query_vec_col: str = "vec",
-           dist_impl: str = "sql") -> DataFrame:
+           dist_impl: str = "sql",
+           _collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
     """Batch IVF search: rank centroids driver-side → broadcast the
     (query_id, centroid_id) probe relation into the inverted-list join →
     shared exact verify + inclusive threshold + top-k.
 
-    Returns (query_id, rank, neighbor_id, dist)."""
+    Returns (query_id, rank, neighbor_id, dist).  ``_collected``:
+    pre-collected (ids, matrix) so ``search_from_store`` pays one driver
+    round-trip, not two."""
     from lsh_search_go_spark.operators.ann import _collect_queries, verify_topk
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
-    collected = _collect_queries(q)
+    collected = _collected if _collected is not None else _collect_queries(q)
     q_ids, Q = collected
     spark = queries.sparkSession
     qtype = dict(q.dtypes)["query_id"]

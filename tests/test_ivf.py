@@ -101,6 +101,35 @@ def test_ivf_hot_centroid_skew(spark):
     assert "WindowGroupLimit" in plan, "top-k must pre-limit per partition"
 
 
+def test_ivf_list_store_pruned_search_matches(mixture, spark, tmp_path):
+    """The centroid-partitioned list store returns identical results to the
+    in-memory inverted relation, and its scan prunes to the probed
+    centroid_id directories (the IVF serving layout, symmetric with the
+    LSH bucket store)."""
+    train, corpus, queries = mixture
+    C = ivf.fit_centroids(train, 20, "cosine", seed=42)
+    inv = ivf.assign(corpus, C, "cosine").cache()
+    store = str(tmp_path / "list_store")
+    ivf.write_list_store(inv, store)
+
+    base = {(r.query_id, r.rank, r.neighbor_id)
+            for r in ivf.search(queries, inv, corpus, C, 10, 0.05,
+                                "cosine", nprobe=3).collect()}
+    pruned = ivf.search_from_store(queries, store, corpus, C, 10, 0.05,
+                                   "cosine", nprobe=3)
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in pruned.collect()}
+    assert got == base
+
+    import re
+    one_q = queries.limit(1)
+    plan = (ivf.search_from_store(one_q, store, corpus, C, 10, 0.05,
+                                  "cosine", nprobe=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "centroid_id" in pf.group(1), \
+        f"centroid partition filter not pushed: {pf and pf.group(1)}"
+
+
 def test_ivf_dist_impls_agree(mixture, spark):
     train, corpus, queries = mixture
     C = ivf.fit_centroids(train, 16, "cosine", seed=1)
