@@ -208,9 +208,12 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
                      sample_size=fit_sample or n_train)
     t0 = time.time()
     model = ann.fit_from_df(train, acfg, "vec")
+    t_fit = time.time()
     buckets = ann.build_buckets(train, model, "id", "vec").persist()
     buckets.count()
     timings[f"{tag}_lsh_train"] = round(time.time() - t0, 3)
+    extra[f"{tag}_lsh_fit"] = round(t_fit - t0, 3)
+    extra[f"{tag}_lsh_bucket_build"] = round(time.time() - t_fit, 3)
 
     def lsh():
         # matmul_grouped: at wide dims the pairwise verify's per-candidate

@@ -383,7 +383,8 @@ def ivf_oracle_tables(sf_dir: str) -> str:
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|ivf|{n_cent}|{n_iters}|{seed}|"
         f"{IVF_NPROBE}|{IVF_FIT_CAP}|{ANN_N_QUERIES}|"
-        f"{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"{st.st_size}|{st.st_mtime_ns}|"
+        f"ivf_v{ivf.MODEL_VERSION}".encode()   # bump on fit-semantics change
     ).hexdigest()[:16]
     out_dir = os.path.join(tempfile.gettempdir(), f"lsh_ivf_oracle_{key}")
     ipath = os.path.join(out_dir, "inverted.parquet")
@@ -436,8 +437,9 @@ def ann_oracle_tables(sf_dir: str) -> str:
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{acfg.config_hash}|"
-        f"{st.st_size}|{st.st_mtime_ns}|v1".encode()   # regenerated fixture data
-    ).hexdigest()[:16]                                 # must not reuse a stale model
+        f"{st.st_size}|{st.st_mtime_ns}|"              # regenerated fixture data
+        f"model_v{ann.MODEL_VERSION}".encode()         # or a changed fit/hash
+    ).hexdigest()[:16]                                 # must not gate stale
     out_dir = os.path.join(tempfile.gettempdir(), f"lsh_ann_oracle_{key}")
     bpath = os.path.join(out_dir, "buckets.parquet")
     ppath = os.path.join(out_dir, "probes.parquet")

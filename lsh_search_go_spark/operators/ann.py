@@ -43,6 +43,12 @@ from pyspark.sql import types as T
 
 from lsh_search_go_spark.config import TOL, AnnConfig
 
+# Bump whenever fit()/hash_batch() semantics change in a way that alters the
+# produced forest or hashes — cache keys for model-derived oracle relations
+# include it, so stale cached buckets/probes can never gate a newer model.
+# 2: r4 level-synchronous BFS fit + float32 traversal dots.
+MODEL_VERSION = 2
+
 
 # ---------------------------------------------------------------------------
 # Model
@@ -56,6 +62,16 @@ class FlatTree:
     offsets: np.ndarray          # (n_nodes,)
     left: np.ndarray             # (n_nodes,) int32
     right: np.ndarray            # (n_nodes,) int32
+    _f32: tuple | None = None    # lazy (normals32, offsets32) traversal cache
+
+    def f32(self) -> tuple[np.ndarray, np.ndarray]:
+        """Cached float32 copies of the planes for the hot traversal path —
+        derived from the float64 truth on first use, so a save/load roundtrip
+        reproduces identical hashes."""
+        if self._f32 is None:
+            self._f32 = (np.ascontiguousarray(self.normals, dtype=np.float32),
+                         self.offsets.astype(np.float32))
+        return self._f32
 
 
 @dataclass
@@ -75,6 +91,12 @@ class HasherModel:
                 for t in self.trees
             ],
         }
+
+    def ensure_f32(self) -> None:
+        """Precompute every tree's f32 traversal cache so a broadcast ships
+        it once instead of each task deriving its own copy."""
+        for t in self.trees:
+            t.f32()
 
     @classmethod
     def from_dict(cls, d: dict) -> "HasherModel":
@@ -105,13 +127,11 @@ def _plane_from_pair(p0: np.ndarray, p1: np.ndarray) -> tuple[np.ndarray, float]
     return n, d
 
 
-def _random_plane(vecs: np.ndarray, rng: np.random.Generator,
-                  is_angular: bool) -> tuple[np.ndarray, float]:
-    """getRandomPlane (/root/reference/lsh/hasher.go:100-134): two distinct
-    random points, sorted ascending by L2 norm, normalized iff angular."""
-    n = vecs.shape[0]
-    i, j = rng.choice(n, size=2, replace=False)
-    p0, p1 = vecs[i], vecs[j]
+def _plane_from_points(p0: np.ndarray, p1: np.ndarray,
+                       is_angular: bool) -> tuple[np.ndarray, float]:
+    """Plane from a chosen point pair, with the reference's ordering and
+    normalization rules (/root/reference/lsh/hasher.go:100-134): points sorted
+    ascending by L2 norm, normalized iff the metric is angular."""
     if np.linalg.norm(p0) > np.linalg.norm(p1):
         p0, p1 = p1, p0
     if is_angular:
@@ -119,41 +139,102 @@ def _random_plane(vecs: np.ndarray, rng: np.random.Generator,
     return _plane_from_pair(p0, p1)
 
 
-class _TreeBuilder:
-    def __init__(self, cfg: AnnConfig, rng: np.random.Generator):
-        self.cfg = cfg
-        self.rng = rng
-        self.normals: list[np.ndarray] = []
-        self.offsets: list[float] = []
-        self.left: list[int] = []
-        self.right: list[int] = []
+def _random_plane(vecs: np.ndarray, rng: np.random.Generator,
+                  is_angular: bool) -> tuple[np.ndarray, float]:
+    """getRandomPlane (/root/reference/lsh/hasher.go:100-134): two distinct
+    random points, sorted ascending by L2 norm, normalized iff angular."""
+    n = vecs.shape[0]
+    i, j = rng.choice(n, size=2, replace=False)
+    return _plane_from_points(vecs[i], vecs[j], is_angular)
 
-    def grow(self, vecs: np.ndarray, depth: int) -> int:
-        """growTree (/root/reference/lsh/hasher.go:136-161).  Returns node idx
-        or -1 for a leaf edge."""
-        if depth > self.cfg.max_depth or vecs.shape[0] < 2:
-            return -1
-        n, d = _random_plane(vecs, self.rng, self.cfg.is_angular)
-        idx = len(self.normals)
-        self.normals.append(n)
-        self.offsets.append(d)
-        self.left.append(-1)
-        self.right.append(-1)
-        signs = (vecs @ n - d) < 0  # strictly negative side → left, bit set
-        lvecs, rvecs = vecs[signs], vecs[~signs]
-        if lvecs.shape[0] > self.cfg.k_min_vecs:
-            self.left[idx] = self.grow(lvecs, depth + 1)
-        if rvecs.shape[0] > self.cfg.k_min_vecs:
-            self.right[idx] = self.grow(rvecs, depth + 1)
-        return idx
 
-    def flat(self) -> FlatTree:
-        return FlatTree(
-            np.array(self.normals, dtype=np.float64),
-            np.array(self.offsets, dtype=np.float64),
-            np.array(self.left, dtype=np.int32),
-            np.array(self.right, dtype=np.int32),
-        )
+def _grow_tree(vecs64: np.ndarray, vecs32: np.ndarray, cfg: AnnConfig,
+               rng: np.random.Generator,
+               workspace: tuple | None = None) -> FlatTree:
+    """growTree (/root/reference/lsh/hasher.go:136-161), level-synchronous.
+
+    Semantics per node are the reference's exactly: draw two distinct random
+    members, build the biased plane through their midpoint, send the strictly
+    negative side left, and grow a child only while it holds more than
+    ``k_min_vecs`` (and ≥2) points with depth ≤ ``max_depth``.  Two documented
+    engineering departures from the r1-r3 recursive builder (forest differs
+    bit-wise, distribution identical; recall re-measured in BENCH):
+
+    * nodes are created breadth-first, so the per-tree RNG draws happen in
+      level order instead of DFS order — each node still draws from its own
+      subset with the same ``choice(n, 2)`` call;
+    * split dots are computed in float32 over a physically partition-refined
+      buffer (each level does one contiguous segment matvec + one compaction
+      copy instead of per-node submatrix materializations).  Planes themselves
+      are built and stored in float64 from the original rows; only the
+      left/right routing of points lying within f32 eps of a random plane can
+      differ, which moves leaf occupancy by ±O(1) points.
+    """
+    N = vecs64.shape[0]
+    normals: list[np.ndarray] = []
+    offsets: list[float] = []
+    left: list[int] = []
+    right: list[int] = []
+    min_child = max(cfg.k_min_vecs, 1)   # child grows iff side_count > this
+    if N >= 2:
+        if workspace is None:
+            workspace = _fit_workspace(vecs32)
+        buf, scratch, ids, ids_scratch = workspace
+        np.copyto(buf[:N], vecs32)
+        buf, scratch = buf[:N], scratch[:N]
+        ids, ids_scratch = ids[:N], ids_scratch[:N]
+        ids[:] = np.arange(N, dtype=np.int64)
+        # (parent_node, side 0=left/1=right, start, end) — rows [start, end)
+        # of ``buf`` are this pending node's subset, in reference order
+        pending: list[tuple[int, int, int, int]] = [(-1, 0, 0, N)]
+        depth = 0
+        while pending and depth <= cfg.max_depth:
+            nxt: list[tuple[int, int, int, int]] = []
+            w = 0
+            for parent, side, s, e in pending:
+                n_sub = e - s
+                i, j = rng.choice(n_sub, size=2, replace=False)
+                nvec, d = _plane_from_points(
+                    vecs64[ids[s + i]], vecs64[ids[s + j]], cfg.is_angular)
+                idx = len(normals)
+                normals.append(nvec)
+                offsets.append(d)
+                left.append(-1)
+                right.append(-1)
+                if parent >= 0:
+                    (left if side == 0 else right)[parent] = idx
+                if depth >= cfg.max_depth:
+                    continue             # children would exceed max_depth
+                dots = buf[s:e] @ nvec.astype(np.float32)
+                neg = (dots - np.float32(d)) < 0
+                nl = int(neg.sum())
+                nr = n_sub - nl
+                if nl > min_child:
+                    np.compress(neg, buf[s:e], axis=0, out=scratch[w:w + nl])
+                    ids_scratch[w:w + nl] = ids[s:e][neg]
+                    nxt.append((idx, 0, w, w + nl))
+                    w += nl
+                if nr > min_child:
+                    pos = ~neg
+                    np.compress(pos, buf[s:e], axis=0, out=scratch[w:w + nr])
+                    ids_scratch[w:w + nr] = ids[s:e][pos]
+                    nxt.append((idx, 1, w, w + nr))
+                    w += nr
+            buf, scratch = scratch, buf
+            ids, ids_scratch = ids_scratch, ids
+            pending = nxt
+            depth += 1
+    if not normals:                      # degenerate tiny sample: single node
+        normals.append(np.zeros(vecs64.shape[1]))
+        offsets.append(0.0)
+        left.append(-1)
+        right.append(-1)
+    return FlatTree(
+        np.array(normals, dtype=np.float64),
+        np.array(offsets, dtype=np.float64),
+        np.array(left, dtype=np.int32),
+        np.array(right, dtype=np.int32),
+    )
 
 
 def fit(sample: np.ndarray, cfg: AnnConfig) -> HasherModel:
@@ -163,35 +244,45 @@ def fit(sample: np.ndarray, cfg: AnnConfig) -> HasherModel:
     vecs = np.asarray(sample, dtype=np.float64)
     if cfg.is_angular:
         vecs = _normalize(vecs)
-
-    def build(t: int) -> FlatTree:
-        b = _TreeBuilder(cfg, np.random.default_rng(cfg.seed + t))
-        root = b.grow(vecs, 0)
-        if root == -1:  # degenerate tiny sample: single-node tree
-            b.normals.append(np.zeros(vecs.shape[1]))
-            b.offsets.append(0.0)
-            b.left.append(-1)
-            b.right.append(-1)
-        return b.flat()
+    vecs32 = np.ascontiguousarray(vecs, dtype=np.float32)
 
     # trees are mutually independent (per-tree rng seeded seed+t) and the
-    # hot ops (matvec, boolean gather) release the GIL — thread across trees
-    # for a bit-identical forest.  Width capped at 4: the build is
-    # memory-bandwidth-bound (each level streams the node's full submatrix),
-    # and on the measured single-box DRAM ceiling wider pools ANTI-scale
-    # (60k×784×10 trees best-of-2: 15.4 s serial, 9.7 s at 4 threads,
-    # slower again wider) — a multi-node cluster fits trees on separate
-    # buses and doesn't share this cap.
+    # hot ops (matvec, compaction copy) release the GIL — thread across
+    # trees.  Width capped at 8: the build is memory-bandwidth-bound (each
+    # level streams every live point once) and on the measured single-box
+    # DRAM ceiling wider pools ANTI-scale (the f32 refactor halved per-tree
+    # bytes, moving the knee from 4 to ~8: 60k×784×10 trees cold measured
+    # 13.3/11.4/8.0/6.1/7.7 s at 1/2/4/6/8 workers) — a multi-node cluster
+    # fits trees on separate buses and doesn't share this cap.  Each worker
+    # owns ONE buffer workspace reused across its trees: fresh per-tree
+    # allocations cost more in first-touch page faults than the build itself
+    # at 60k×784.
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    workers = max(1, min(cfg.n_trees, 4, os.cpu_count() or 1))
+    workers = max(1, min(cfg.n_trees, 8, os.cpu_count() or 1))
+
+    def build_range(w: int) -> list[tuple[int, FlatTree]]:
+        ws = _fit_workspace(vecs32)
+        return [(t, _grow_tree(vecs, vecs32, cfg,
+                               np.random.default_rng(cfg.seed + t), ws))
+                for t in range(w, cfg.n_trees, workers)]
+
     if workers == 1:
-        trees = [build(t) for t in range(cfg.n_trees)]
+        built = build_range(0)
     else:
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            trees = list(ex.map(build, range(cfg.n_trees)))
+            built = [p for chunk in ex.map(build_range, range(workers))
+                     for p in chunk]
+    trees = [tree for _, tree in sorted(built)]
     return HasherModel(cfg, trees)
+
+
+def _fit_workspace(vecs32: np.ndarray) -> tuple:
+    """One reusable (buf, scratch, ids, ids_scratch) set for tree growth."""
+    return (np.empty_like(vecs32), np.empty_like(vecs32),
+            np.empty(vecs32.shape[0], dtype=np.int64),
+            np.empty(vecs32.shape[0], dtype=np.int64))
 
 
 def fit_from_df(df: DataFrame, cfg: AnnConfig, vec_col: str = "vec",
@@ -206,15 +297,36 @@ def fit_from_df(df: DataFrame, cfg: AnnConfig, vec_col: str = "vec",
     Bernoulli sample, which is deterministic per Spark version but not
     re-derivable engine-independently."""
     if order_col is not None:
-        sample = (df.orderBy(order_col).limit(cfg.sample_size)
-                  .select(vec_col).toPandas()[vec_col])
+        sdf = df.orderBy(order_col).limit(cfg.sample_size).select(vec_col)
     else:
         n = df.count()
         frac = min(1.0, cfg.sample_size / max(n, 1))
-        sample = (df.sample(withReplacement=False, fraction=frac, seed=cfg.seed)
-                  .select(vec_col).toPandas()[vec_col])
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in sample])
-    return fit(mat, cfg)
+        if frac >= 1.0:                # full-corpus fit: sampler is a no-op
+            sdf = df.select(vec_col)
+        else:
+            sdf = (df.sample(withReplacement=False, fraction=frac,
+                             seed=cfg.seed).select(vec_col))
+    return fit(collect_vec_matrix(sdf), cfg)
+
+
+def collect_vec_matrix(sdf: DataFrame) -> np.ndarray:
+    """Collect a single vector column to a (n, dims) float64 matrix through
+    ONE Arrow transfer: the list column's values buffer is viewed flat and
+    reshaped, skipping the per-row ``np.asarray`` loop a pandas collect needs
+    (~5 s for 60k×784).  Falls back to the row-wise path for ragged rows or
+    nulls (where a flat reshape would misalign)."""
+    col_name = sdf.columns[0]
+    try:
+        col = sdf.toArrow().column(0).combine_chunks()
+        if col.null_count == 0 and len(col):
+            widths = np.diff(np.asarray(col.offsets))
+            if (widths == widths[0]).all():        # truly rectangular
+                flat = np.asarray(col.flatten(), dtype=np.float64)
+                return flat.reshape(len(col), int(widths[0]))
+    except Exception:
+        pass
+    pdf = sdf.toPandas()
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf[col_name]])
 
 
 # ---------------------------------------------------------------------------
@@ -222,33 +334,48 @@ def fit_from_df(df: DataFrame, cfg: AnnConfig, vec_col: str = "vec",
 # ---------------------------------------------------------------------------
 
 def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
-    """(B, dims) → (B, n_trees) int64 bit-path hashes, whole batch at once."""
+    """(B, dims) → (B, n_trees) int64 bit-path hashes, whole batch at once.
+
+    Traversal dots run in float32 against the cached f32 planes
+    (:meth:`FlatTree.f32`) — the fit's split dots use the identical precision,
+    and every caller (bucket build, driver query hashing, the numpy oracle)
+    goes through this one function, so train/serve/oracle routing is
+    consistent by construction.  While every row is still live the einsum
+    reads ``X32`` in place (no row gather); once rows start parking in leaves
+    only the live subset is gathered."""
     cfg = model.cfg
+    X = np.asarray(X, dtype=np.float64)
     if cfg.is_angular:
         X = _normalize(X)
-    B = X.shape[0]
+    X32 = np.ascontiguousarray(X, dtype=np.float32)
+    B = X32.shape[0]
     out = np.zeros((B, len(model.trees)), dtype=np.int64)
+    # Row chunking keeps one chunk's (rows + gathered planes) working set in
+    # per-core cache: with 32 concurrent executor workers sharing one L3, a
+    # whole-batch gather per level thrashes and the stage goes DRAM-bound.
+    chunk = max(1, (1 << 19) // max(4 * X32.shape[1], 1))   # ~0.5 MB of rows
     for t_idx, tree in enumerate(model.trees):
-        cur = np.zeros(B, dtype=np.int64)       # all start at root
+        normals32, offsets32 = tree.f32()
         h = np.zeros(B, dtype=np.int64)
-        active = np.ones(B, dtype=bool)
-        depth = 0
-        while active.any() and depth <= cfg.max_depth:
-            idx = cur[active]
-            normals = tree.normals[idx]         # (A, dims)
-            offs = tree.offsets[idx]
-            neg = np.einsum("ad,ad->a", X[active], normals) - offs < 0
-            hh = h[active]
-            hh[neg] |= np.int64(1) << np.int64(depth)
-            h[active] = hh
-            nxt = np.where(neg, tree.left[idx], tree.right[idx])
-            cur_active = cur[active]
-            cur_active[:] = nxt
-            cur[active] = cur_active
-            still = nxt >= 0
-            act_idx = np.flatnonzero(active)
-            active[act_idx[~still]] = False
-            depth += 1
+        for s in range(0, B, chunk):
+            Xa = X32[s:s + chunk]
+            A = Xa.shape[0]
+            cur = np.zeros(A, dtype=np.int32)   # all start at root
+            hh = h[s:s + chunk]
+            act = np.arange(A)                  # rows still traversing
+            depth = 0
+            while act.size and depth <= cfg.max_depth:
+                idx = cur[act]
+                G = normals32[idx]              # (A', dims) plane gather
+                Xc = Xa if act.size == A else Xa[act]
+                neg = np.einsum("ad,ad->a", Xc, G) - offsets32[idx] < 0
+                ha = hh[act]
+                ha[neg] |= np.int64(1) << np.int64(depth)
+                hh[act] = ha
+                nxt = np.where(neg, tree.left[idx], tree.right[idx])
+                cur[act] = nxt
+                act = act[nxt >= 0]
+                depth += 1
         out[:, t_idx] = h
     return out
 
@@ -267,7 +394,11 @@ def exploded_tree_hashes(df: DataFrame, model: HasherModel,
     row (r1 PLANS.md finding); this shape evaluates it exactly once and the
     output rows are already narrow (ids + two ints, no vectors)."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(model.to_dict())
+    # broadcast the model OBJECT (numpy arrays pickle as raw buffers) — a
+    # to_dict() broadcast made every task re-parse ~n_trees·nodes·dims Python
+    # floats back into arrays, which dominated the whole bucket-build stage
+    model.ensure_f32()
+    bc = spark.sparkContext.broadcast(model)
     n_trees = len(model.trees)
     in_df = df.select(*keep_cols, vec_col)
     schema = T.StructType(
@@ -277,11 +408,11 @@ def exploded_tree_hashes(df: DataFrame, model: HasherModel,
     )
 
     def gen(batches):
-        m = HasherModel.from_dict(bc.value)
+        m = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            X = np.stack(pdf[vec_col].to_numpy())  # (B, dims), no per-row asarray
             hashes = hash_batch(X, m)              # (B, n_trees)
             out = {c: np.repeat(pdf[c].to_numpy(), n_trees) for c in keep_cols}
             out["tree_id"] = np.tile(np.arange(n_trees, dtype=np.int32), len(pdf))
@@ -349,13 +480,19 @@ def write_bucket_store(buckets: DataFrame, path: str,
     The meta rides as a one-row JSON dataset written THROUGH Spark (not
     local ``open()``), so the store works unchanged on HDFS/S3/GCS paths
     (r2 ADVICE).  The leading underscore keeps Hadoop's hidden-path filter
-    from surfacing it in the parquet scan, and ``mode("overwrite")`` on
-    both writes means a re-layout can never leave a stale modulus behind."""
+    from surfacing it in the parquet scan, and ``mode("overwrite")`` on both
+    writes — with ``partitionOverwriteMode`` pinned to ``static`` so a
+    session-level ``dynamic`` default can't turn the overwrite into a
+    per-touched-directory one (r3 ADVICE: a dynamic re-layout to a smaller
+    modulus would leave stale ``hash_pfx`` dirs whose values still satisfy
+    the new combined-key pruning) — means a re-layout can never leave a
+    stale modulus behind."""
     spark = buckets.sparkSession
     (buckets
      .withColumn("hash_pfx", F.pmod(F.col("hash"), F.lit(hash_partitions)))
      .repartition("tree_id", "hash_pfx")       # one file per partition dir
      .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
      .partitionBy("tree_id", "hash_pfx")
      .parquet(path))
     (spark.createDataFrame([(int(hash_partitions),)], "hash_partitions int")
@@ -381,7 +518,7 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
     to :func:`search`; the difference is physical — the partition-pruning
     predicate derived from the driver-hashed probes means only the probed
     (tree_id, hash_pfx) directories are listed and scanned.  The partition
-    modulus comes from the store's own ``_store_meta.json``."""
+    modulus comes from the store's own ``_store_meta`` JSON sub-dataset."""
     spark = queries.sparkSession
     hash_partitions = _store_hash_partitions(spark, store_path)
     q = queries.select(F.col(query_id_col).alias("query_id"),
@@ -457,10 +594,12 @@ def search(queries: DataFrame, buckets: DataFrame, corpus: DataFrame,
     + vectorized gather per corpus batch — the benchmark path; candidate rows
     ship only the corpus vector).
 
-    ``max_candidates``: deterministic per-query cap (ordered by neighbor_id)
-    — the reproducible analog of the reference's arrival-order-dependent
-    ``maxCandidates`` early exit (/root/reference/lsh/lsh.go:145,163-166;
-    non-determinism documented in SURVEY §7.0 and not replicated).
+    ``max_candidates``: deterministic per-query cap, ordered by
+    ``(first_tree, neighbor_id)`` — keeps the candidates the reference's
+    arrival-order early exit keeps (tree 0's buckets are drained first,
+    /root/reference/lsh/lsh.go:145,163-166) while staying reproducible
+    (residual arrival-order non-determinism documented in SURVEY §7.0 and
+    not replicated).
 
     Physical-plan contract (the 100 TB shape, r1 VERDICT fixes):
     * ONE hash-UDF evaluation per side (``exploded_tree_hashes`` emits
@@ -697,10 +836,15 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
                            collected: tuple[list, np.ndarray] | None = None
                            ) -> DataFrame:
     """(neighbor_id, __cvec, __qids array) rows → (query_id, neighbor_id,
-    dist): one corpus-vector transfer per touched row, distances via a
-    per-batch gram matrix against the broadcast query matrix, then a
-    (row, query) pair gather.  O(rows_touched × dims) Arrow traffic instead
-    of O(candidate_pairs × dims)."""
+    dist): one corpus-vector transfer per touched row, distances against the
+    broadcast query matrix.  O(rows_touched × dims) Arrow traffic instead of
+    O(candidate_pairs × dims).
+
+    Memory-bounded (r3 ADVICE): when the pair list is sparse relative to the
+    full |rows|×|queries| gram, distances come from a per-pair gathered
+    einsum; otherwise the gram is computed in row blocks capped at ~64 MB —
+    a 10k-row Arrow batch against a 100k-query broadcast can never
+    materialize the naive 8 GB matrix this backend is meant for."""
     from lsh_search_go_spark.config import TOL
 
     spark = q.sparkSession
@@ -728,16 +872,48 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
                 (idx[qid] for lst in pdf["__qids"] for qid in lst),
                 dtype=np.int64, count=int(counts.sum()))
             rows = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+            npairs, nq, dims = len(rows), Qm.shape[0], Qm.shape[1]
+            budget = 1 << 23                        # ≤64 MB of float64 cells
             if metric == "l2":
-                g = C @ Qm.T
-                d2 = ((C * C).sum(1)[:, None] + (Qm * Qm).sum(1)[None, :]
-                      - 2.0 * g)
-                d = np.sqrt(np.maximum(d2[rows, flat_q], 0.0))
+                qsq = (Qm * Qm).sum(1)
+                csq = (C * C).sum(1)
+                d = np.empty(npairs)
+                if npairs * dims <= len(pdf) * nq:
+                    # sparse pairs: gathered per-pair dots, chunked
+                    step = max(1, budget // max(dims, 1))
+                    for s in range(0, npairs, step):
+                        rr, qq = rows[s:s + step], flat_q[s:s + step]
+                        g = np.einsum("pd,pd->p", C[rr], Qm[qq])
+                        d[s:s + step] = np.sqrt(np.maximum(
+                            csq[rr] + qsq[qq] - 2.0 * g, 0.0))
+                else:
+                    # dense pairs: gram in row blocks (rows are sorted, so
+                    # each block's pair span is a contiguous slice)
+                    step = max(1, budget // max(nq, 1))
+                    for s in range(0, len(pdf), step):
+                        e = min(s + step, len(pdf))
+                        lo, hi = np.searchsorted(rows, [s, e])
+                        d2 = ((C[s:e] * C[s:e]).sum(1)[:, None] + qsq[None, :]
+                              - 2.0 * (C[s:e] @ Qm.T))
+                        d[lo:hi] = np.sqrt(np.maximum(
+                            d2[rows[lo:hi] - s, flat_q[lo:hi]], 0.0))
             else:
                 cn = np.linalg.norm(C, axis=1)
                 Cn = C / np.where(cn > TOL, cn, 1.0)[:, None]
-                dmat = 1.0 - Cn @ Qn.T
-                d = dmat[rows, flat_q]
+                d = np.empty(npairs)
+                if npairs * dims <= len(pdf) * nq:
+                    step = max(1, budget // max(dims, 1))
+                    for s in range(0, npairs, step):
+                        rr, qq = rows[s:s + step], flat_q[s:s + step]
+                        d[s:s + step] = 1.0 - np.einsum(
+                            "pd,pd->p", Cn[rr], Qn[qq])
+                else:
+                    step = max(1, budget // max(nq, 1))
+                    for s in range(0, len(pdf), step):
+                        e = min(s + step, len(pdf))
+                        lo, hi = np.searchsorted(rows, [s, e])
+                        dmat = 1.0 - Cn[s:e] @ Qn.T
+                        d[lo:hi] = dmat[rows[lo:hi] - s, flat_q[lo:hi]]
                 zero = (cn[rows] <= TOL) | (qn[flat_q] <= TOL)
                 d[zero] = 1.0                       # zero-vector guard (helpers.go:224-231)
                 d[d < TOL] = 0.0                    # clamp (helpers.go:232-233)

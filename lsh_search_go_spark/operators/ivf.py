@@ -51,6 +51,10 @@ from pyspark.sql import types as T
 
 from lsh_search_go_spark.config import TOL
 
+# Bump whenever fit_centroids()/assignment semantics change the produced
+# quantizer — oracle cache keys include it (see ann.MODEL_VERSION).
+MODEL_VERSION = 1
+
 
 def _normalize_rows(X: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(X, axis=1, keepdims=True)

@@ -33,11 +33,19 @@ def windowed_event_stats(events: DataFrame, window: str = "10 minutes",
 
     ``value_col`` names the numeric column summed into ``total_value``; pass
     ``None`` (or leave the default on a frame without a 'value' column) to
-    emit counts only."""
+    emit counts only.  The missing-column fallback applies ONLY to the
+    default ``'value'`` — an explicitly passed column that does not exist
+    raises instead of silently dropping ``total_value`` from the schema
+    (r3 ADVICE: a typo like ``value_col='vlaue'`` must not change the
+    output contract)."""
     df = events
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     if value_col is not None and value_col not in df.columns:
+        if value_col != "value":
+            raise ValueError(
+                f"value_col {value_col!r} not found in input columns "
+                f"{df.columns}; pass value_col=None for counts-only output")
         value_col = None
     aggs = [F.count(F.lit(1)).alias("n_events")]
     out_cols = [F.col("w.start").alias("window_start"),
@@ -74,6 +82,21 @@ def _guard_window_config(spark, checkpoint_dir: str, window: str,
                 "would silently mix window state — use a fresh checkpoint "
                 "dir (and sink) to change the window config")
     else:
+        # A checkpoint that already carries streaming state (offsets/ exists)
+        # but predates this guard has an UNKNOWN window config — adopting the
+        # current one would bless exactly the stale-state mix the guard is
+        # for (r3 ADVICE).  Refuse; the operator must either re-create the
+        # checkpoint or write _window_config by hand after verifying.
+        offsets = spark._jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir.rstrip("/") + "/offsets")
+        if fs.exists(offsets):
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir!r} contains streaming state "
+                "but no _window_config marker — its window/watermark config "
+                "is unknown, so resuming could silently mix differently-"
+                "sized window state; use a fresh checkpoint dir, or write "
+                "the _window_config dataset manually if the old config is "
+                "known to match")
         (spark.createDataFrame([(window, watermark)],
                                "window string, watermark string")
          .coalesce(1).write.mode("overwrite").json(cfg_path))
