@@ -138,6 +138,82 @@ def _make_annbench_shaped(out_dir: str, n_proto: int, per_proto: int,
     H5.dataset_to_parquet("annbench_shaped.hdf5", out_dir, h5py_mod=_FakeH5)
 
 
+def _make_nyt_shaped(out_dir: str, n_proto: int = 29_000, per_proto: int = 10,
+                     n_test: int = 1_000, dims: int = 256,
+                     n_classes: int = 20, k: int = 10, seed: int = 42) -> None:
+    """NYTimes-bag-of-words-*shaped* dataset: 290k × 256, ANGULAR metric
+    (/root/reference/README.md:168-172).  Same three-level geometry as the
+    L2 sets but on direction space: unit class centers → protos at moderate
+    angle (σ_a) → per-proto variants at small angle (σ_b).  The chosen σ's
+    put same-proto neighbors at angular ≈0.37 and the NEAREST cross-proto
+    siblings at ≈0.8 — right at the reference's MaxDist=0.81, reproducing
+    the angular crowding that makes cosine its documented weak regime
+    (README.md:166-167).  Ground truth = exact top-10 ANGULAR distance
+    (sqrt(2·(1−cos)), lsh/helpers.go:240-246), chunked numpy."""
+    import numpy as np
+
+    from lsh_search_go_spark.sources import hdf5 as H5
+
+    rng = np.random.default_rng(seed)
+    n_train = n_proto * per_proto
+    centers = rng.normal(size=(n_classes, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    proto_cls = rng.integers(0, n_classes, n_proto)
+    protos = centers[proto_cls] + rng.normal(0, 0.0625, (n_proto, dims))
+    train = (np.repeat(protos, per_proto, 0)
+             + rng.normal(0, 0.0236, (n_train, dims))).astype(np.float32)
+    test = (protos[rng.permutation(n_proto)[:n_test]]
+            + rng.normal(0, 0.0236, (n_test, dims))).astype(np.float32)
+
+    tr64 = train.astype(np.float64)
+    tr64 /= np.linalg.norm(tr64, axis=1, keepdims=True)
+    te64 = test.astype(np.float64)
+    te64 /= np.linalg.norm(te64, axis=1, keepdims=True)
+    neighbors = np.empty((n_test, k), np.int64)
+    dists = np.empty((n_test, k))
+    for lo in range(0, n_test, 100):
+        cos = te64[lo:lo + 100] @ tr64.T
+        a2 = np.maximum(2.0 * (1.0 - cos), 0.0)       # angular² distance
+        idx = np.argpartition(a2, k, axis=1)[:, :k]
+        dd = np.take_along_axis(a2, idx, 1)
+        order = np.argsort(dd, axis=1, kind="stable")
+        neighbors[lo:lo + 100] = np.take_along_axis(idx, order, 1)
+        dists[lo:lo + 100] = np.sqrt(np.take_along_axis(dd, order, 1))
+
+    mats = {"train": train, "test": test,
+            "neighbors": neighbors.astype(np.int32),
+            "distances": dists.astype(np.float32)}
+
+    class _FakeFile(dict):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeH5:
+        @staticmethod
+        def File(path, mode):
+            return _FakeFile(mats)
+
+    H5.dataset_to_parquet("nyt_shaped.hdf5", out_dir, h5py_mod=_FakeH5)
+
+
+def run_nyt(spark) -> dict:
+    """The reference's NYTimes-256-angular experiment at its own config
+    (NTrees 200, KMinVecs 200, MaxDist 0.81 angular, MaxCandidates 20000,
+    BatchSize-independent — /root/reference/annbench/annbench_test.go:235-245)
+    on the 290k × 256 NYT-shaped dataset; comparable row-for-row with
+    README.md:168-172 (published LSH P/R 0.868/0.868 — the reference's
+    documented cosine weak regime).  Full-corpus fit like the reference's
+    Train."""
+    return _run_annbench(
+        spark, tag="nyt", dir_name="nyt_shaped_290k_256_v1",
+        gen=lambda d: _make_nyt_shaped(d),
+        n_trees=200, k_min_vecs=200, dims=256, fit_sample=None,
+        max_dist=0.81, max_candidates=20_000, metric="angular")
+
+
 def run_fmnist(spark) -> dict:
     """The reference's headline ann-benchmarks experiment at its own FMNIST
     config (NTrees 10, KMinVecs 200, MaxDist 2200, MaxCandidates 5000,
@@ -175,15 +251,34 @@ def run_siftlike(spark) -> dict:
 
 def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
                   k_min_vecs: int, dims: int, fit_sample: int | None,
-                  max_dist: float, max_candidates: int) -> dict:
+                  max_dist: float, max_candidates: int,
+                  metric: str = "l2") -> dict:
     """Shared ann-benchmarks runner: train (fit + bucket build), LSH search,
-    exact search, ε=0.05 distance-based P/R vs the published ground truth."""
+    exact search, ε=0.05 distance-based P/R vs the published ground truth.
+
+    ``metric="angular"``: the ground truth and ``max_dist`` are ANGULAR
+    distances (the reference's cosine-regime unit, lsh/helpers.go:218-234);
+    the engine searches in cosine-distance space with the exact threshold
+    conversion c = a²/2 (monotonic — identical admissions and ranking,
+    lsh/helpers.go:240-246) and results are converted back to angular for
+    the ε-P/R comparison."""
     from pyspark.sql import functions as F
 
     from lsh_search_go_spark.config import AnnConfig
     from lsh_search_go_spark.metrics import distance_based_precision_recall
     from lsh_search_go_spark.operators import ann
     from lsh_search_go_spark.operators.bruteforce import brute_force_topk_np
+
+    angular = metric == "angular"
+    search_metric = "cosine" if angular else "l2"
+    search_max = max_dist * max_dist / 2.0 if angular else max_dist
+
+    def to_reported(df):
+        """cosine-space dist → angular for P/R vs the angular ground truth."""
+        if not angular:
+            return df
+        return df.withColumn(
+            "dist", F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) * F.col("dist"))))
 
     timings: dict[str, float] = {}
     extra: dict = {}
@@ -204,7 +299,7 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
     gt.count()
 
     acfg = AnnConfig(n_trees=n_trees, k_min_vecs=k_min_vecs, dims=dims,
-                     is_angular=False, seed=42,
+                     is_angular=angular, seed=42,
                      sample_size=fit_sample or n_train)
     t0 = time.time()
     model = ann.fit_from_df(train, acfg, "vec")
@@ -219,10 +314,11 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
         # matmul_grouped: at wide dims the pairwise verify's per-candidate
         # vector shipping dominates (tens of GB); grouped ships each touched
         # corpus vector once
-        return ann.search(queries, buckets, train, model, k=10,
-                          max_dist=max_dist, metric="l2",
-                          dist_impl="matmul_grouped",
-                          max_candidates=max_candidates)
+        return to_reported(
+            ann.search(queries, buckets, train, model, k=10,
+                       max_dist=search_max, metric=search_metric,
+                       dist_impl="matmul_grouped",
+                       max_candidates=max_candidates))
 
     lsh().count()          # untimed warm-up (worker pool + cache scan)
     res = lsh().persist()
@@ -236,8 +332,9 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
         timings[f"{tag}_lsh_search"] / n_q * 1000, 2)
 
     def bf():
-        return brute_force_topk_np(train, queries, 10, "l2",
-                                   exclude_self=False)
+        return to_reported(brute_force_topk_np(train, queries, 10,
+                                               search_metric,
+                                               exclude_self=False))
 
     bf().count()
     bf_res = bf().persist()
@@ -255,7 +352,7 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
                               "fit_sample": fit_sample or n_train,
                               "max_dist": max_dist,
                               "max_candidates": max_candidates,
-                              "k": 10, "epsilon": 0.05}
+                              "k": 10, "epsilon": 0.05, "metric": metric}
     res.unpersist()
     bf_res.unpersist()
     buckets.unpersist()
@@ -545,6 +642,7 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--fmnist-only", action="store_true")
     ap.add_argument("--siftlike-only", action="store_true")
+    ap.add_argument("--nyt-only", action="store_true")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -561,6 +659,8 @@ def main() -> None:
         res = run_fmnist(spark)
     elif args.siftlike_only:
         res = run_siftlike(spark)
+    elif args.nyt_only:
+        res = run_nyt(spark)
     else:
         res = run_headline(spark, args.sf_dir, args.cpus)
     total = round(time.time() - t0, 3)

@@ -111,15 +111,15 @@ class DedupConfig:
                     "overflow at scale); raise simhash_bits so that "
                     "simhash_bits / simhash_bands >= 8"
                 )
-            if band_bits > 32:
-                # multi-word band hashes (acc*2^32+word) can reach 2^64:
-                # Spark wraps int64 silently while DuckDB raises — the
-                # engines would diverge (r2 ADVICE; simhash._band_width
-                # enforces the same bound at expression-build time)
+            if band_bits > 32 and band_bits % 32 != 0:
+                # wide bands are supported as whole-word groups folded
+                # through a Mersenne-prime polynomial hash (bit-identical on
+                # Spark and DuckDB — simhash.simhash_band_hashes); a width
+                # straddling a word boundary is not
                 raise ValueError(
-                    f"simhash band width {band_bits} > 32 bits would overflow "
-                    f"int64 band hashes; use simhash_bands >= "
-                    f"{self.simhash_bits // 32}"
+                    f"simhash band width {band_bits} > 32 bits must be a "
+                    f"multiple of 32 (e.g. simhash_bits={self.simhash_bits} "
+                    f"with simhash_bands dividing {self.simhash_bits // 32})"
                 )
 
     # --- derived, deterministic hash-family parameters -------------------

@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lsh_search_go_spark.config import MERSENNE31, DedupConfig
+from lsh_search_go_spark.config import (MERSENNE31, POLY_COMBINE_MULT,
+                                        DedupConfig)
 from lsh_search_go_spark.functions import hashing as H
 
 P = MERSENNE31
@@ -177,9 +178,27 @@ def simhash_band_hashes(sim_col: str, cfg: DedupConfig, n_bands: int = 8) -> Col
     of MinHash banding, over bit space.
 
     Works on the word-array signature: band j covers bits
-    [j*w, (j+1)*w) with w = simhash_bits / n_bands (w must divide 32 or be a
-    multiple of it; enforced)."""
+    [j*w, (j+1)*w) with w = simhash_bits / n_bands.  Sub-word bands
+    (w <= 32, dividing 32) are the raw bit-slice value; multi-word bands
+    (w a multiple of 32, e.g. simhash_bits=256 with 4 bands) are folded
+    through a polynomial hash mod the Mersenne prime 2^31-1 — the identical
+    integer arithmetic runs on Spark and DuckDB with no int64 overflow
+    (word < 2^32, acc < 2^31 ⇒ acc·1000003 + word < 2^52), so the engines
+    stay bit-identical where a raw multi-word concat (acc·2^32 + word)
+    would wrap in Spark and raise in DuckDB (r2 ADVICE / r3 VERDICT task 6).
+    Equal slices still hash equal, so the pigeonhole recall guarantee of
+    ``n_bands > hamming_threshold`` is unchanged (a fold collision can only
+    ADD a candidate, never lose one)."""
     w = _band_width(cfg.simhash_bits, n_bands)
+    if w > 32:
+        wpw = w // 32                       # words per band
+        expr = (
+            f"transform(sequence(0, {n_bands - 1}), j -> "
+            f"aggregate(slice({sim_col}, j * {wpw} + 1, {wpw}), "
+            f"cast(0 as bigint), "
+            f"(acc, x) -> (acc * {POLY_COMBINE_MULT} + x) % {MERSENNE31}))"
+        )
+        return F.expr(expr)
     per_word = 32 // w
     # band j lives in word j//per_word, bit offset (j%per_word)*w
     expr = (
@@ -192,17 +211,19 @@ def simhash_band_hashes(sim_col: str, cfg: DedupConfig, n_bands: int = 8) -> Col
 
 def _band_width(nbits: int, n_bands: int) -> int:
     """Validated band width shared by the Spark and DuckDB band helpers.
-    Widths above 32 bits are rejected outright: a multi-word band hash
-    (acc * 2^32 + word) can reach 2^64 and silently wraps int64 in Spark
-    while DuckDB raises a BIGINT overflow — the two engines would diverge.
-    One-word-or-narrower bands are exact in both."""
+    Allowed widths: w <= 32 dividing 32 (raw bit-slice band hash), or any
+    multiple of 32 (Mersenne-folded multi-word band hash — see
+    :func:`simhash_band_hashes`).  Everything else would straddle word
+    boundaries and is rejected."""
     if nbits % n_bands != 0:
         raise ValueError("n_bands must divide simhash_bits")
     w = nbits // n_bands
     if w > 32:
-        raise ValueError(
-            f"band width {w} > 32 bits would overflow int64 band hashes; "
-            f"use n_bands >= {nbits // 32}")
+        if w % 32 != 0:
+            raise ValueError(
+                f"band width {w} > 32 bits must be a multiple of 32 "
+                "(multi-word Mersenne-folded bands)")
+        return w
     if 32 % w != 0:
         raise ValueError("band width must align with 32-bit words")
     return w
@@ -246,8 +267,17 @@ def duck_simhash_words(shingles_sql: str, cfg: DedupConfig) -> str:
 def duck_band_expr(words_sql: str, cfg: DedupConfig, n_bands: int,
                    band_var: str = "j") -> str:
     """DuckDB mirror of :func:`simhash_band_hashes` for one band index
-    ``band_var`` (0-based): the band's bit-slice value from the word array."""
+    ``band_var`` (0-based): the band's bit-slice value from the word array
+    (or the identical Mersenne fold for multi-word bands)."""
     w = _band_width(cfg.simhash_bits, n_bands)
+    if w > 32:
+        wpw = w // 32
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_slice({words_sql}, {band_var} * {wpw} + 1, "
+            f"({band_var} + 1) * {wpw})), "
+            f"(acc, x) -> (acc * {POLY_COMBINE_MULT} + x) % {MERSENNE31})"
+        )
     per_word = 32 // w
     return (f"({words_sql}[({band_var} // {per_word}) + 1] "
             f">> (({band_var} % {per_word}) * {w})) & {(1 << w) - 1}")

@@ -79,8 +79,22 @@ def q_exact_dedup_groups(spark, sf_dir):
 
 def q_exact_dup_pairs(spark, sf_dir):
     """Canonical-representative star pairs of byte-identical docs (the edge
-    set CC consumes; avoids the full within-group self-join)."""
-    return EX.exact_dup_pairs(_docs(spark, sf_dir), "doc_id", "content")
+    set CC consumes; avoids the full within-group self-join).
+
+    The sf fixtures contain no byte-identical pair, which made this gate
+    vacuously green (0 = 0 rows, r3 VERDICT).  The gate therefore runs over
+    the fixture UNION a deterministic re-keyed copy of every 97th document
+    (ids offset by 10^9) — planted duplicates both engines derive
+    identically, so the pair set is non-empty and value-checked."""
+    return EX.exact_dup_pairs(_plant_exact_dups(_docs(spark, sf_dir)),
+                              "doc_id", "content")
+
+
+def _plant_exact_dups(docs: DataFrame) -> DataFrame:
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+    )
 
 
 def q_doc_profile(spark, sf_dir):
@@ -573,8 +587,16 @@ select sha256(content) as content_sha, count(*) as n_dups, min(doc_id) as canoni
 from ({_duck_docs_cte()}) group by 1
 """
 
+    # mirror of _plant_exact_dups: the fixture has no byte-identical pair,
+    # so gate over fixture ∪ re-keyed copy of every 97th doc (r3 VERDICT)
     sql["exact_dup_pairs"] = f"""
-with sha as (select doc_id, sha256(content) as content_sha from ({_duck_docs_cte()})),
+with planted as (
+  select doc_id, content from ({_duck_docs_cte()})
+  union all
+  select doc_id + 1000000000 as doc_id, content
+  from ({_duck_docs_cte()}) where doc_id % 97 = 0
+),
+sha as (select doc_id, sha256(content) as content_sha from planted),
 reps as (select content_sha, min(doc_id) as src from sha group by 1)
 select r.src as src_id, s.doc_id as dst_id
 from sha s join reps r using (content_sha)

@@ -47,7 +47,9 @@ from lsh_search_go_spark.config import TOL, AnnConfig
 # produced forest or hashes — cache keys for model-derived oracle relations
 # include it, so stale cached buckets/probes can never gate a newer model.
 # 2: r4 level-synchronous BFS fit + float32 traversal dots.
-MODEL_VERSION = 2
+# 3: r4 whole-level vectorized plane draws (one rng.random batch per level
+#    replaces per-node choice(n, 2) — same distribution, different stream).
+MODEL_VERSION = 3
 
 
 # ---------------------------------------------------------------------------
@@ -161,8 +163,11 @@ def _grow_tree(vecs64: np.ndarray, vecs32: np.ndarray, cfg: AnnConfig,
     bit-wise, distribution identical; recall re-measured in BENCH):
 
     * nodes are created breadth-first, so the per-tree RNG draws happen in
-      level order instead of DFS order — each node still draws from its own
-      subset with the same ``choice(n, 2)`` call;
+      level order instead of DFS order — each node still draws a uniformly
+      distributed distinct random pair from its own subset (one
+      ``rng.random((2, S))`` batch per level + Floyd adjustment, the same
+      distribution as per-node ``choice(n, 2, replace=False)`` at a fraction
+      of the per-node Python cost);
     * split dots are computed in float32 over a physically partition-refined
       buffer (each level does one contiguous segment matvec + one compaction
       copy instead of per-node submatrix materializations).  Planes themselves
@@ -171,10 +176,11 @@ def _grow_tree(vecs64: np.ndarray, vecs32: np.ndarray, cfg: AnnConfig,
       differ, which moves leaf occupancy by ±O(1) points.
     """
     N = vecs64.shape[0]
-    normals: list[np.ndarray] = []
-    offsets: list[float] = []
+    level_normals: list[np.ndarray] = []   # one (n_level_nodes, dims) block per level
+    level_offsets: list[np.ndarray] = []
     left: list[int] = []
     right: list[int] = []
+    n_nodes = 0
     min_child = max(cfg.k_min_vecs, 1)   # child grows iff side_count > this
     if N >= 2:
         if workspace is None:
@@ -189,49 +195,69 @@ def _grow_tree(vecs64: np.ndarray, vecs32: np.ndarray, cfg: AnnConfig,
         pending: list[tuple[int, int, int, int]] = [(-1, 0, 0, N)]
         depth = 0
         while pending and depth <= cfg.max_depth:
+            # ---- whole-level vectorized plane draws (one RNG call, one
+            # gather, one plane batch — per-NODE Python cost is what
+            # dominates deep forests like NTrees=200/KMinVecs=200)
+            S = len(pending)
+            starts = np.fromiter((p[2] for p in pending), np.int64, S)
+            n_subs = np.fromiter((p[3] - p[2] for p in pending), np.int64, S)
+            u = rng.random((2, S))
+            i = np.minimum((u[0] * n_subs).astype(np.int64), n_subs - 1)
+            j = np.minimum((u[1] * (n_subs - 1)).astype(np.int64), n_subs - 2)
+            j += (j >= i)                # Floyd: j uniform over the others
+            P0 = vecs64[ids[starts + i]]
+            P1 = vecs64[ids[starts + j]]
+            swap = (np.einsum("sd,sd->s", P0, P0)
+                    > np.einsum("sd,sd->s", P1, P1))   # ascending by L2 norm
+            P0[swap], P1[swap] = P1[swap], P0[swap].copy()
+            if cfg.is_angular:
+                P0, P1 = _normalize(P0), _normalize(P1)
+            centers = 0.5 * (P0 + P1)
+            nvecs = P1 - centers
+            ds = np.einsum("sd,sd->s", centers, nvecs)
+            nvecs32 = nvecs.astype(np.float32)
+            ds32 = ds.astype(np.float32)
+            base = n_nodes
+            level_normals.append(nvecs)
+            level_offsets.append(ds)
+            left.extend([-1] * S)
+            right.extend([-1] * S)
+            for si, (parent, side, _, _) in enumerate(pending):
+                if parent >= 0:
+                    (left if side == 0 else right)[parent] = base + si
+            n_nodes += S
+            if depth >= cfg.max_depth:
+                break                    # children would exceed max_depth
+            # ---- per-segment split + compaction into the sibling buffer
             nxt: list[tuple[int, int, int, int]] = []
             w = 0
-            for parent, side, s, e in pending:
-                n_sub = e - s
-                i, j = rng.choice(n_sub, size=2, replace=False)
-                nvec, d = _plane_from_points(
-                    vecs64[ids[s + i]], vecs64[ids[s + j]], cfg.is_angular)
-                idx = len(normals)
-                normals.append(nvec)
-                offsets.append(d)
-                left.append(-1)
-                right.append(-1)
-                if parent >= 0:
-                    (left if side == 0 else right)[parent] = idx
-                if depth >= cfg.max_depth:
-                    continue             # children would exceed max_depth
-                dots = buf[s:e] @ nvec.astype(np.float32)
-                neg = (dots - np.float32(d)) < 0
+            for si, (parent, side, s, e) in enumerate(pending):
+                neg = (buf[s:e] @ nvecs32[si] - ds32[si]) < 0
                 nl = int(neg.sum())
-                nr = n_sub - nl
+                nr = (e - s) - nl
                 if nl > min_child:
                     np.compress(neg, buf[s:e], axis=0, out=scratch[w:w + nl])
                     ids_scratch[w:w + nl] = ids[s:e][neg]
-                    nxt.append((idx, 0, w, w + nl))
+                    nxt.append((base + si, 0, w, w + nl))
                     w += nl
                 if nr > min_child:
                     pos = ~neg
                     np.compress(pos, buf[s:e], axis=0, out=scratch[w:w + nr])
                     ids_scratch[w:w + nr] = ids[s:e][pos]
-                    nxt.append((idx, 1, w, w + nr))
+                    nxt.append((base + si, 1, w, w + nr))
                     w += nr
             buf, scratch = scratch, buf
             ids, ids_scratch = ids_scratch, ids
             pending = nxt
             depth += 1
-    if not normals:                      # degenerate tiny sample: single node
-        normals.append(np.zeros(vecs64.shape[1]))
-        offsets.append(0.0)
+    if n_nodes == 0:                     # degenerate tiny sample: single node
+        level_normals.append(np.zeros((1, vecs64.shape[1])))
+        level_offsets.append(np.zeros(1))
         left.append(-1)
         right.append(-1)
     return FlatTree(
-        np.array(normals, dtype=np.float64),
-        np.array(offsets, dtype=np.float64),
+        np.ascontiguousarray(np.concatenate(level_normals), dtype=np.float64),
+        np.concatenate(level_offsets).astype(np.float64),
         np.array(left, dtype=np.int32),
         np.array(right, dtype=np.int32),
     )
@@ -750,9 +776,16 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
         else:
             ids_rep, trees, flat = driver_probe_arrays(Q, model, len(q_ids))
         qtype = dict(q.dtypes)["query_id"]
+        # Arrow path: one pandas frame instead of a Python list-of-tuples —
+        # mid-size batches (10k-100k queries × trees × 2 probes) otherwise
+        # pay per-row Py4J serialization (r3 ADVICE)
         probes = spark.createDataFrame(
-            [(q_ids[i], int(t), int(h)) for i, t, h in zip(ids_rep, trees, flat)],
-            f"query_id {qtype}, tree_id int, hash long",
+            pd.DataFrame({
+                "query_id": np.asarray(q_ids, dtype=object)[ids_rep],
+                "tree_id": trees.astype(np.int32),
+                "hash": flat,
+            }),
+            schema=f"query_id {qtype}, tree_id int, hash long",
         )
     else:
         probes = exploded_tree_hashes(q, model, "__qvec", ("query_id",))

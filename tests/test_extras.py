@@ -192,6 +192,59 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert buckets.count() == 70 * cfg.num_bands
 
 
+def test_incremental_pairs_cumulative_equals_batch(spark, tmp_path):
+    """The streaming freshness story end-to-end (r3 VERDICT task 4): ingest
+    one corpus in 3 micro-batch rounds, run the touched-bucket incremental
+    pair job after each round, and assert the CUMULATIVE edge set equals the
+    one-shot batch pair job over the same corpus — i.e. restricting each
+    round to buckets touched since the previous round loses nothing (the
+    reference's Train-then-Search freshness contract, lsh/lsh.go:107-136,
+    without its full rebuild)."""
+    import pandas as pd
+
+    from lsh_search_go_spark.streaming.incremental import (
+        incremental_pairs, start_incremental_ingest)
+
+    cfg = DedupConfig(strip_comments=True)
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "index")
+    os.makedirs(src_dir)
+
+    # one corpus with planted dup clusters, rows shuffled so clusters SPAN
+    # drops (cross-round pairs are the interesting case)
+    corpus = synth.generate(n_files=90, seed=33)
+    pdf = pd.DataFrame(corpus.rows).sample(frac=1.0, random_state=7)
+    drops = [pdf.iloc[0:30], pdf.iloc[30:60], pdf.iloc[60:]]
+
+    cumulative: set[tuple] = set()
+    since = None
+    for r, drop in enumerate(drops):
+        drop.to_parquet(os.path.join(src_dir, f"drop{r}.parquet"), index=False)
+        q = start_incremental_ingest(spark, src_dir, out_dir, cfg,
+                                     impl="pandas")
+        q.awaitTermination(120)
+        got = incremental_pairs(spark, out_dir, cfg, since=since)
+        round_pairs = {(p.src_id, p.dst_id) for p in got.collect()}
+        if since is not None:
+            # touched-bucket restriction: every emitted pair involves a doc
+            # ingested this round
+            new_ids = {
+                r2.doc_id
+                for r2 in spark.read.parquet(os.path.join(out_dir, "signatures"))
+                .filter(F.col("_ingested_at") > F.lit(since))
+                .select(F.col(cfg.id_col).alias("doc_id")).collect()
+            }
+            assert all(s in new_ids or d in new_ids for s, d in round_pairs)
+        cumulative |= round_pairs
+        since = (spark.read.parquet(os.path.join(out_dir, "signatures"))
+                 .agg(F.max("_ingested_at")).head()[0])
+
+    batch = {(p.src_id, p.dst_id)
+             for p in incremental_pairs(spark, out_dir, cfg).collect()}
+    assert batch, "fixture produced no duplicate pairs — test is vacuous"
+    assert cumulative == batch
+
+
 # --- substring blocking skew guard (r1 VERDICT #7) ---------------------------
 
 def test_substring_block_cap_license_header(spark):
