@@ -607,9 +607,9 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
             pipe = DedupPipeline(spark, pcfg, workdir, impl="pandas",
                                  target_partitions=max(cpus, 8))
             pres = pipe.run(src, with_substring=True)
-            dt = time.time() - t0
-            pipeline_runs.append(round(dt, 3))
-            if dt == min(pipeline_runs):
+            dt = round(time.time() - t0, 3)   # rounded BEFORE the best-run
+            pipeline_runs.append(dt)          # compare (an unrounded dt can
+            if dt == min(pipeline_runs):      # never equal its rounded copy)
                 stage_secs_best = {s.name: round(s.seconds, 2)
                                    for s in pres.stages}
         finally:
