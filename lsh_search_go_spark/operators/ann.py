@@ -94,12 +94,6 @@ class HasherModel:
             ],
         }
 
-    def ensure_f32(self) -> None:
-        """Precompute every tree's f32 traversal cache so a broadcast ships
-        it once instead of each task deriving its own copy."""
-        for t in self.trees:
-            t.f32()
-
     @classmethod
     def from_dict(cls, d: dict) -> "HasherModel":
         cfg = AnnConfig(**d["cfg"])
@@ -359,29 +353,52 @@ def collect_vec_matrix(sdf: DataFrame) -> np.ndarray:
 # Vectorized hashing (traverse, /root/reference/lsh/hasher.go:38-57)
 # ---------------------------------------------------------------------------
 
+@dataclass
+class TraversalTables:
+    """Slim, picklable serving payload: ONLY what hash traversal needs —
+    f32 planes + child indices.  The full :class:`HasherModel` carries the
+    f64 truth too, which at SIFT/NYT forest sizes is 0.4-1.8 GB; every
+    executor python worker unpickles the broadcast once, so shipping these
+    tables instead cuts broadcast bytes and per-worker resident memory ~3×
+    while producing bit-identical hashes (traversal only ever reads f32)."""
+    is_angular: bool
+    max_depth: int
+    trees: list   # of (normals32, offsets32, left, right)
+
+
+def traversal_tables(model: HasherModel) -> TraversalTables:
+    return TraversalTables(
+        model.cfg.is_angular, model.cfg.max_depth,
+        [(*t.f32(), t.left, t.right) for t in model.trees])
+
+
 def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
     """(B, dims) → (B, n_trees) int64 bit-path hashes, whole batch at once.
 
     Traversal dots run in float32 against the cached f32 planes
     (:meth:`FlatTree.f32`) — the fit's split dots use the identical precision,
     and every caller (bucket build, driver query hashing, the numpy oracle)
-    goes through this one function, so train/serve/oracle routing is
-    consistent by construction.  While every row is still live the einsum
-    reads ``X32`` in place (no row gather); once rows start parking in leaves
-    only the live subset is gathered."""
-    cfg = model.cfg
+    goes through this one code path, so train/serve/oracle routing is
+    consistent by construction."""
+    return hash_batch_tables(X, traversal_tables(model))
+
+
+def hash_batch_tables(X: np.ndarray, tables: TraversalTables) -> np.ndarray:
+    """Traversal core over :class:`TraversalTables` (what executors receive).
+    While every row of a chunk is still live the einsum reads it in place
+    (no row gather); once rows start parking in leaves only the live subset
+    is gathered."""
     X = np.asarray(X, dtype=np.float64)
-    if cfg.is_angular:
+    if tables.is_angular:
         X = _normalize(X)
     X32 = np.ascontiguousarray(X, dtype=np.float32)
     B = X32.shape[0]
-    out = np.zeros((B, len(model.trees)), dtype=np.int64)
+    out = np.zeros((B, len(tables.trees)), dtype=np.int64)
     # Row chunking keeps one chunk's (rows + gathered planes) working set in
     # per-core cache: with 32 concurrent executor workers sharing one L3, a
     # whole-batch gather per level thrashes and the stage goes DRAM-bound.
     chunk = max(1, (1 << 19) // max(4 * X32.shape[1], 1))   # ~0.5 MB of rows
-    for t_idx, tree in enumerate(model.trees):
-        normals32, offsets32 = tree.f32()
+    for t_idx, (normals32, offsets32, left, right) in enumerate(tables.trees):
         h = np.zeros(B, dtype=np.int64)
         for s in range(0, B, chunk):
             Xa = X32[s:s + chunk]
@@ -390,7 +407,7 @@ def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
             hh = h[s:s + chunk]
             act = np.arange(A)                  # rows still traversing
             depth = 0
-            while act.size and depth <= cfg.max_depth:
+            while act.size and depth <= tables.max_depth:
                 idx = cur[act]
                 G = normals32[idx]              # (A', dims) plane gather
                 Xc = Xa if act.size == A else Xa[act]
@@ -398,7 +415,7 @@ def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
                 ha = hh[act]
                 ha[neg] |= np.int64(1) << np.int64(depth)
                 hh[act] = ha
-                nxt = np.where(neg, tree.left[idx], tree.right[idx])
+                nxt = np.where(neg, left[idx], right[idx])
                 cur[act] = nxt
                 act = act[nxt >= 0]
                 depth += 1
@@ -420,11 +437,13 @@ def exploded_tree_hashes(df: DataFrame, model: HasherModel,
     row (r1 PLANS.md finding); this shape evaluates it exactly once and the
     output rows are already narrow (ids + two ints, no vectors)."""
     spark = df.sparkSession
-    # broadcast the model OBJECT (numpy arrays pickle as raw buffers) — a
-    # to_dict() broadcast made every task re-parse ~n_trees·nodes·dims Python
-    # floats back into arrays, which dominated the whole bucket-build stage
-    model.ensure_f32()
-    bc = spark.sparkContext.broadcast(model)
+    # broadcast the slim TRAVERSAL TABLES, not the model: numpy arrays
+    # pickle as raw buffers (a to_dict() broadcast made every task re-parse
+    # ~n_trees·nodes·dims Python floats, which dominated the whole stage),
+    # and dropping the f64 planes cuts the payload ~3× — at NYT scale
+    # (200 trees × 256d) the full model is ~1.8 GB × one copy per python
+    # worker
+    bc = spark.sparkContext.broadcast(traversal_tables(model))
     n_trees = len(model.trees)
     in_df = df.select(*keep_cols, vec_col)
     schema = T.StructType(
@@ -434,12 +453,12 @@ def exploded_tree_hashes(df: DataFrame, model: HasherModel,
     )
 
     def gen(batches):
-        m = bc.value
+        tables = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy())  # (B, dims), no per-row asarray
-            hashes = hash_batch(X, m)              # (B, n_trees)
+            hashes = hash_batch_tables(X, tables)  # (B, n_trees)
             out = {c: np.repeat(pdf[c].to_numpy(), n_trees) for c in keep_cols}
             out["tree_id"] = np.tile(np.arange(n_trees, dtype=np.int32), len(pdf))
             out["hash"] = hashes.reshape(-1)
