@@ -53,6 +53,17 @@ def main() -> None:
                          "pairs strategy defaults to 128 so its 16 bands have "
                          "8-bit domains while still exceeding the Hamming "
                          "threshold — see DedupConfig validation)")
+    ap.add_argument("--hamming-threshold", type=int, default=None,
+                    help="max Hamming distance for simhash dup admission "
+                         "(default 10; must stay below simhash-bands for "
+                         "the banded strategy's pigeonhole recall guarantee "
+                         "— e.g. 3 with --simhash-bands 4)")
+    ap.add_argument("--simhash-bands", type=int, default=None,
+                    help="bit-slice bands for the simhash strategy (default "
+                         "16; bands wider than 32 bits are folded through a "
+                         "Mersenne-prime polynomial hash — e.g. "
+                         "--simhash-bits 256 --simhash-bands 4 gives 64-bit "
+                         "bands for web-scale low-collision buckets)")
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets it otherwise)")
@@ -88,6 +99,10 @@ def main() -> None:
         pairs_strategy=args.pairs_strategy,
         simhash_bits=(args.simhash_bits if args.simhash_bits is not None
                       else (128 if args.pairs_strategy == "simhash" else 64)),
+        **({"simhash_bands": args.simhash_bands}
+           if args.simhash_bands is not None else {}),
+        **({"hamming_threshold": args.hamming_threshold}
+           if args.hamming_threshold is not None else {}),
     )
     source = read_table(spark, args.input)
     pipe = DedupPipeline(spark, cfg, args.workdir, impl=args.impl)

@@ -123,27 +123,6 @@ def _plane_from_pair(p0: np.ndarray, p1: np.ndarray) -> tuple[np.ndarray, float]
     return n, d
 
 
-def _plane_from_points(p0: np.ndarray, p1: np.ndarray,
-                       is_angular: bool) -> tuple[np.ndarray, float]:
-    """Plane from a chosen point pair, with the reference's ordering and
-    normalization rules (/root/reference/lsh/hasher.go:100-134): points sorted
-    ascending by L2 norm, normalized iff the metric is angular."""
-    if np.linalg.norm(p0) > np.linalg.norm(p1):
-        p0, p1 = p1, p0
-    if is_angular:
-        p0, p1 = _normalize(p0), _normalize(p1)
-    return _plane_from_pair(p0, p1)
-
-
-def _random_plane(vecs: np.ndarray, rng: np.random.Generator,
-                  is_angular: bool) -> tuple[np.ndarray, float]:
-    """getRandomPlane (/root/reference/lsh/hasher.go:100-134): two distinct
-    random points, sorted ascending by L2 norm, normalized iff angular."""
-    n = vecs.shape[0]
-    i, j = rng.choice(n, size=2, replace=False)
-    return _plane_from_points(vecs[i], vecs[j], is_angular)
-
-
 def _grow_tree(vecs64: np.ndarray, vecs32: np.ndarray, cfg: AnnConfig,
                rng: np.random.Generator,
                workspace: tuple | None = None) -> FlatTree:

@@ -218,3 +218,45 @@ def test_bucket_store_big_probe_batch_exact_pruning(spark, vecs, tmp_path):
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and "tree_id" in pf.group(1) and "hash_pfx" in pf.group(1), \
         f"combined partition key not pushed: {pf and pf.group(1)}"
+
+
+def test_bucket_store_relayout_under_dynamic_overwrite(spark, vecs, tmp_path):
+    """r3 ADVICE regression: with the session's partitionOverwriteMode set to
+    ``dynamic``, re-laying a store out to a SMALLER modulus must not leave
+    stale hash_pfx directories behind (a dynamic overwrite only clears the
+    touched directories; pfx dirs that only existed under the old modulus
+    would survive and feed stale rows whose combined key still satisfies the
+    new pruning isin).  write_bucket_store pins static overwrite per-write."""
+    import os
+
+    corpus, queries = vecs
+    cfg = AnnConfig(n_trees=6, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
+    model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
+    buckets = ann.build_buckets(corpus, model)
+    store = str(tmp_path / "relayout_store")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ann.write_bucket_store(buckets, store, hash_partitions=16)
+        # re-layout to a smaller modulus under the hostile session default
+        ann.write_bucket_store(buckets, store, hash_partitions=4)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    # no stale directory from the 16-way layout survives
+    pfx = set()
+    for tree_dir in os.listdir(store):
+        if tree_dir.startswith("tree_id="):
+            for p in os.listdir(os.path.join(store, tree_dir)):
+                if p.startswith("hash_pfx="):
+                    pfx.add(int(p.split("=", 1)[1]))
+    assert pfx and pfx <= {0, 1, 2, 3}, f"stale hash_pfx dirs: {sorted(pfx)}"
+    assert ann._store_hash_partitions(spark, store) == 4
+
+    base = {(r.query_id, r.rank, r.neighbor_id)
+            for r in ann.search(queries, buckets, corpus, model, 5, 1e9,
+                                "l2").collect()}
+    got = {(r.query_id, r.rank, r.neighbor_id)
+           for r in ann.search_from_store(queries, store, corpus, model, 5,
+                                          1e9, "l2").collect()}
+    assert got == base
