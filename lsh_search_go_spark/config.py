@@ -111,6 +111,16 @@ class DedupConfig:
                     "overflow at scale); raise simhash_bits so that "
                     "simhash_bits / simhash_bands >= 8"
                 )
+            if band_bits <= 32 and 32 % band_bits != 0:
+                # mirror of simhash._band_width: sub-word bands must pack
+                # evenly into 32-bit words or the slice expression would
+                # straddle a word boundary — fail at config time, not after
+                # the signature stages have already run
+                raise ValueError(
+                    f"simhash band width {band_bits} bits must divide 32 "
+                    f"(got simhash_bits={self.simhash_bits} / "
+                    f"simhash_bands={self.simhash_bands})"
+                )
             if band_bits > 32 and band_bits % 32 != 0:
                 # wide bands are supported as whole-word groups folded
                 # through a Mersenne-prime polynomial hash (bit-identical on

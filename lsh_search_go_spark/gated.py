@@ -430,8 +430,10 @@ def ann_oracle_tables(sf_dir: str) -> str:
     using ONLY pyarrow + numpy (no Spark).  Returns the directory.
 
     This is what lets DuckDB gate the reference's flagship read path: the
-    seeded forest is re-derived here exactly (same sorted fit sample, same
-    float64 arithmetic), and everything after hashing is SQL."""
+    seeded forest is re-derived here exactly — the same sorted fit sample
+    through the SAME ``ann.fit``/``ann.hash_batch`` code (f64 plane truth,
+    f32 split/traversal dots as of MODEL_VERSION 2) — and everything after
+    hashing is SQL."""
     import hashlib
     import os
     import tempfile

@@ -458,8 +458,13 @@ def save_model(model: HasherModel, path: str) -> None:
 
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = model.to_dict()
+    # provenance only — a loaded model is self-contained (hashes derive from
+    # the stored planes, never a refit), so load_model needs no version gate
+    payload["model_version"] = MODEL_VERSION
+    payload["fingerprint"] = model_fingerprint(model)
     with open(tmp, "w") as f:
-        json.dump(model.to_dict(), f)
+        json.dump(payload, f)
     os.replace(tmp, path)
 
 
@@ -493,13 +498,35 @@ def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
 # small query batch reads only its probed partitions instead of the whole
 # bucket table.  Coverage fraction ≈ min(1, n_probes / (n_trees · P)).
 
+def model_fingerprint(model: HasherModel) -> str:
+    """Stable content hash of the SERVING truth (f32 planes + children +
+    config).  Persisted into a bucket store's ``_store_meta`` and checked by
+    :func:`search_from_store`: a store only answers correctly for queries
+    hashed by the exact forest that built it, and a same-config refit no
+    longer reproduces the forest across MODEL_VERSIONs — without this check
+    a stale store would silently collapse recall to ~0 instead of erroring."""
+    import hashlib
+
+    h = hashlib.sha256(model.cfg.config_hash.encode())
+    for t in model.trees:
+        n32, o32 = t.f32()
+        for arr in (n32, o32, t.left, t.right):
+            h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:32]
+
+
 def write_bucket_store(buckets: DataFrame, path: str,
-                       hash_partitions: int = 64) -> None:
+                       hash_partitions: int = 64,
+                       model: HasherModel | None = None) -> None:
     """Materialize the bucket relation partitioned for probe-side pruning.
     ``hash_partitions`` is persisted in the ``_store_meta`` sub-dataset — the
     reader derives partition keys from it, so a mismatch can never silently
     select the wrong directories (probes whose pfx falls in a non-existent
     dir would just miss their buckets, degrading recall without an error).
+    Pass the ``model`` whose :func:`build_buckets` produced ``buckets`` and
+    its :func:`model_fingerprint` rides in the meta too, letting
+    :func:`search_from_store` REFUSE a probe model that differs from the
+    build model instead of silently missing every bucket.
 
     The meta rides as a one-row JSON dataset written THROUGH Spark (not
     local ``open()``), so the store works unchanged on HDFS/S3/GCS paths
@@ -519,7 +546,10 @@ def write_bucket_store(buckets: DataFrame, path: str,
      .option("partitionOverwriteMode", "static")
      .partitionBy("tree_id", "hash_pfx")
      .parquet(path))
-    (spark.createDataFrame([(int(hash_partitions),)], "hash_partitions int")
+    fp = model_fingerprint(model) if model is not None else None
+    (spark.createDataFrame(
+        [(int(hash_partitions), fp)],
+        "hash_partitions int, model_fingerprint string")
      .coalesce(1).write.mode("overwrite").json(_meta_path(path)))
 
 
@@ -527,8 +557,14 @@ def _meta_path(path: str) -> str:
     return path.rstrip("/") + "/_store_meta"
 
 
-def _store_hash_partitions(spark, path: str) -> int:
-    return int(spark.read.json(_meta_path(path)).head()["hash_partitions"])
+def _store_meta(spark, path: str) -> tuple[int, str | None]:
+    row = spark.read.json(_meta_path(path)).head()
+    fp = None
+    try:
+        fp = row["model_fingerprint"]      # absent in pre-r4 stores
+    except Exception:
+        pass
+    return int(row["hash_partitions"]), fp
 
 
 def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
@@ -542,9 +578,22 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
     to :func:`search`; the difference is physical — the partition-pruning
     predicate derived from the driver-hashed probes means only the probed
     (tree_id, hash_pfx) directories are listed and scanned.  The partition
-    modulus comes from the store's own ``_store_meta`` JSON sub-dataset."""
+    modulus comes from the store's own ``_store_meta`` JSON sub-dataset;
+    when the store carries a model fingerprint, a probe ``model`` that is
+    not the store's build model is REFUSED (stores written before
+    fingerprinting are accepted as-is)."""
     spark = queries.sparkSession
-    hash_partitions = _store_hash_partitions(spark, store_path)
+    hash_partitions, store_fp = _store_meta(spark, store_path)
+    if store_fp is not None:
+        caller_fp = model_fingerprint(model)
+        if caller_fp != store_fp:
+            raise ValueError(
+                f"model mismatch: store at {store_path!r} was built with "
+                f"forest {store_fp} but the probe model is {caller_fp} — "
+                "probing with a different forest silently misses every "
+                "bucket (a same-config refit does NOT reproduce the forest "
+                "across MODEL_VERSIONs); rebuild the store or load the "
+                "original model (save_model/load_model)")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
     collected = _collect_queries(q)
@@ -777,9 +826,13 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
         # Arrow path: one pandas frame instead of a Python list-of-tuples —
         # mid-size batches (10k-100k queries × trees × 2 probes) otherwise
         # pay per-row Py4J serialization (r3 ADVICE)
+        # 1-D object array built element-wise: np.asarray would flatten
+        # tuple-like ids (pyspark Row) into a 2-D array
+        id_arr = np.empty(len(q_ids), dtype=object)
+        id_arr[:] = q_ids
         probes = spark.createDataFrame(
             pd.DataFrame({
-                "query_id": np.asarray(q_ids, dtype=object)[ids_rep],
+                "query_id": id_arr[ids_rep],
                 "tree_id": trees.astype(np.int32),
                 "hash": flat,
             }),
@@ -889,8 +942,10 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
         q_ids_l, Qm = bc.value
         Qm = np.asarray(Qm)
         idx = {qid: i for i, qid in enumerate(q_ids_l)}
-        q_ids_arr = np.asarray(q_ids_l, dtype=object)
+        q_ids_arr = np.empty(len(q_ids_l), dtype=object)
+        q_ids_arr[:] = q_ids_l                  # 1-D even for tuple-like ids
         qn = np.linalg.norm(Qm, axis=1)
+        qsq = (Qm * Qm).sum(1)                  # fixed per task, not per batch
         if metric == "cosine":
             Qn = Qm / np.where(qn > TOL, qn, 1.0)[:, None]
         for pdf in batches:
@@ -906,7 +961,6 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
             npairs, nq, dims = len(rows), Qm.shape[0], Qm.shape[1]
             budget = 1 << 23                        # ≤64 MB of float64 cells
             if metric == "l2":
-                qsq = (Qm * Qm).sum(1)
                 csq = (C * C).sum(1)
                 d = np.empty(npairs)
                 if npairs * dims <= len(pdf) * nq:

@@ -18,11 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# sentinel distinguishing "caller didn't specify value_col" (optional
+# 'value' column, silently counts-only if absent) from an EXPLICIT
+# value_col="value" (must exist or raise) — string-matching the name would
+# leave the silent-fallback hole open for users whose column IS 'value'
+_DEFAULT_VALUE_COL = object()
+
+
 def windowed_event_stats(events: DataFrame, window: str = "10 minutes",
                          watermark: str | None = "30 minutes",
                          ts_col: str = "ts",
                          type_col: str = "event_type",
-                         value_col: str | None = "value") -> DataFrame:
+                         value_col=_DEFAULT_VALUE_COL) -> DataFrame:
     """(window_start, window_end, event_type, n_events[, total_value]).
 
     With ``watermark`` set and a streaming source, append-mode output emits a
@@ -34,19 +41,20 @@ def windowed_event_stats(events: DataFrame, window: str = "10 minutes",
     ``value_col`` names the numeric column summed into ``total_value``; pass
     ``None`` (or leave the default on a frame without a 'value' column) to
     emit counts only.  The missing-column fallback applies ONLY to the
-    default ``'value'`` — an explicitly passed column that does not exist
-    raises instead of silently dropping ``total_value`` from the schema
-    (r3 ADVICE: a typo like ``value_col='vlaue'`` must not change the
+    unspecified default — any explicitly passed column (including
+    ``"value"`` itself) that does not exist raises instead of silently
+    dropping ``total_value`` from the schema (r3 ADVICE: a typo like
+    ``value_col='vlaue'`` — or an upstream rename — must not change the
     output contract)."""
     df = events
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    if value_col is not None and value_col not in df.columns:
-        if value_col != "value":
-            raise ValueError(
-                f"value_col {value_col!r} not found in input columns "
-                f"{df.columns}; pass value_col=None for counts-only output")
-        value_col = None
+    if value_col is _DEFAULT_VALUE_COL:
+        value_col = "value" if "value" in df.columns else None
+    elif value_col is not None and value_col not in df.columns:
+        raise ValueError(
+            f"value_col {value_col!r} not found in input columns "
+            f"{df.columns}; pass value_col=None for counts-only output")
     aggs = [F.count(F.lit(1)).alias("n_events")]
     out_cols = [F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),

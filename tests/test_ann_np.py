@@ -164,7 +164,7 @@ def test_bucket_store_pruned_search_matches(spark, vecs, tmp_path):
     model = ann.fit(np.array([r.vec for r in corpus.collect()]), cfg)
     buckets = ann.build_buckets(corpus, model)
     store = str(tmp_path / "bucket_store")
-    ann.write_bucket_store(buckets, store, hash_partitions=16)
+    ann.write_bucket_store(buckets, store, hash_partitions=16, model=model)
 
     base = {(r.query_id, r.rank, r.neighbor_id)
             for r in ann.search(queries, buckets, corpus, model, 5, 1e9,
@@ -196,7 +196,7 @@ def test_bucket_store_big_probe_batch_exact_pruning(spark, vecs, tmp_path):
     buckets = ann.build_buckets(corpus, model)
     store = str(tmp_path / "big_store")
     P = 128
-    ann.write_bucket_store(buckets, store, hash_partitions=P)
+    ann.write_bucket_store(buckets, store, hash_partitions=P, model=model)
 
     # every corpus point as a query → thousands of probe keys
     queries = corpus.select(F.col("id").alias("query_id"), "vec")
@@ -237,9 +237,9 @@ def test_bucket_store_relayout_under_dynamic_overwrite(spark, vecs, tmp_path):
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        ann.write_bucket_store(buckets, store, hash_partitions=16)
+        ann.write_bucket_store(buckets, store, hash_partitions=16, model=model)
         # re-layout to a smaller modulus under the hostile session default
-        ann.write_bucket_store(buckets, store, hash_partitions=4)
+        ann.write_bucket_store(buckets, store, hash_partitions=4, model=model)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
@@ -251,7 +251,7 @@ def test_bucket_store_relayout_under_dynamic_overwrite(spark, vecs, tmp_path):
                 if p.startswith("hash_pfx="):
                     pfx.add(int(p.split("=", 1)[1]))
     assert pfx and pfx <= {0, 1, 2, 3}, f"stale hash_pfx dirs: {sorted(pfx)}"
-    assert ann._store_hash_partitions(spark, store) == 4
+    assert ann._store_meta(spark, store)[0] == 4
 
     base = {(r.query_id, r.rank, r.neighbor_id)
             for r in ann.search(queries, buckets, corpus, model, 5, 1e9,
@@ -260,3 +260,38 @@ def test_bucket_store_relayout_under_dynamic_overwrite(spark, vecs, tmp_path):
            for r in ann.search_from_store(queries, store, corpus, model, 5,
                                           1e9, "l2").collect()}
     assert got == base
+
+
+def test_bucket_store_refuses_mismatched_model(spark, vecs, tmp_path):
+    """A store only answers correctly for the forest that built it, and a
+    same-config refit does NOT reproduce the forest across MODEL_VERSIONs —
+    probing with a different forest must raise loudly, not silently return
+    near-empty results (r4 review finding)."""
+    corpus, queries = vecs
+    cfg = AnnConfig(n_trees=6, k_min_vecs=30, dims=12, seed=42, sample_size=1000)
+    X = np.array([r.vec for r in corpus.collect()])
+    model = ann.fit(X, cfg)
+    store = str(tmp_path / "fp_store")
+    ann.write_bucket_store(ann.build_buckets(corpus, model), store,
+                           hash_partitions=8, model=model)
+
+    # save/load roundtrip preserves the fingerprint → accepted
+    mpath = str(tmp_path / "model.json")
+    ann.save_model(model, mpath)
+    loaded = ann.load_model(mpath)
+    assert ann.model_fingerprint(loaded) == ann.model_fingerprint(model)
+    assert ann.search_from_store(queries, store, corpus, loaded, 5, 1e9,
+                                 "l2").count() > 0
+
+    # a different forest (different seed, same everything else) → refused
+    other = ann.fit(X, AnnConfig(n_trees=6, k_min_vecs=30, dims=12, seed=43,
+                                 sample_size=1000))
+    with pytest.raises(ValueError, match="model mismatch"):
+        ann.search_from_store(queries, store, corpus, other, 5, 1e9, "l2")
+
+    # a pre-fingerprint store (no model= at write time) stays accepted
+    legacy = str(tmp_path / "legacy_store")
+    ann.write_bucket_store(ann.build_buckets(corpus, model), legacy,
+                           hash_partitions=8)
+    assert ann.search_from_store(queries, legacy, corpus, model, 5, 1e9,
+                                 "l2").count() > 0
