@@ -128,18 +128,46 @@ def assign(df: DataFrame, centroids: np.ndarray, metric: str = "cosine",
     return in_df.mapInPandas(gen, schema)
 
 
-def write_list_store(inverted: DataFrame, path: str) -> None:
+def centroid_fingerprint(centroids: np.ndarray) -> str:
+    """Stable content hash of a coarse quantizer — persisted into a list
+    store's ``_store_meta`` so :func:`search_from_store` can refuse probing
+    with centroids other than the ones that assigned the lists (mirrors
+    ``ann.model_fingerprint``; a mismatched quantizer silently routes
+    queries to the wrong lists instead of erroring)."""
+    import hashlib
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    h = hashlib.sha256(str(C.shape).encode())
+    h.update(C.tobytes())
+    return h.hexdigest()[:32]
+
+
+def write_list_store(inverted: DataFrame, path: str,
+                     centroids: np.ndarray | None = None) -> None:
     """Materialize the inverted lists partitioned by ``centroid_id`` — the
     IVF serving layout (mirrors ``ann.write_bucket_store``).  Because
     centroid ranking is driver-side, a query batch's probed list ids are
     known BEFORE the scan, so :func:`search_from_store` pushes
     ``centroid_id IN (...)`` into the file listing and reads only
-    ``≈ n_probed_lists / n_centroids`` of the store."""
+    ``≈ n_probed_lists / n_centroids`` of the store.
+
+    ``partitionOverwriteMode`` is pinned ``static`` per-write (a session
+    ``dynamic`` default would leave stale ``centroid_id`` dirs behind on a
+    re-assignment with fewer centroids).  Pass the ``centroids`` that
+    produced ``inverted`` and their fingerprint rides in ``_store_meta``,
+    letting the read path refuse a mismatched quantizer."""
+    spark = inverted.sparkSession
     (inverted
      .repartition("centroid_id")               # one file per list dir
      .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
      .partitionBy("centroid_id")
      .parquet(path))
+    if centroids is not None:
+        (spark.createDataFrame([(centroid_fingerprint(centroids),)],
+                               "centroid_fingerprint string")
+         .coalesce(1).write.mode("overwrite")
+         .json(path.rstrip("/") + "/_store_meta"))
 
 
 def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
@@ -150,10 +178,25 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
                       dist_impl: str = "sql") -> DataFrame:
     """Identical results to :func:`search`; physically, only the probed
     ``centroid_id`` directories of a :func:`write_list_store` layout are
-    listed and scanned (PartitionFilters)."""
+    listed and scanned (PartitionFilters).  A store written with its
+    ``centroids`` recorded refuses a probe quantizer whose fingerprint
+    differs (stores without meta are accepted as-is)."""
     from lsh_search_go_spark.operators.ann import _collect_queries
 
     spark = queries.sparkSession
+    try:
+        meta = spark.read.json(store_path.rstrip("/") + "/_store_meta").head()
+        store_fp = meta["centroid_fingerprint"]
+    except Exception:
+        store_fp = None                       # pre-fingerprint store
+    if store_fp is not None:
+        caller_fp = centroid_fingerprint(centroids)
+        if caller_fp != store_fp:
+            raise ValueError(
+                f"quantizer mismatch: list store at {store_path!r} was "
+                f"assigned by centroids {store_fp} but the probe quantizer "
+                f"is {caller_fp} — probing would route queries to the wrong "
+                "lists; rebuild the store or load the original centroids")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("__qvec"))
     collected = _collect_queries(q)

@@ -110,7 +110,7 @@ def test_ivf_list_store_pruned_search_matches(mixture, spark, tmp_path):
     C = ivf.fit_centroids(train, 20, "cosine", seed=42)
     inv = ivf.assign(corpus, C, "cosine").cache()
     store = str(tmp_path / "list_store")
-    ivf.write_list_store(inv, store)
+    ivf.write_list_store(inv, store, centroids=C)
 
     base = {(r.query_id, r.rank, r.neighbor_id)
             for r in ivf.search(queries, inv, corpus, C, 10, 0.05,
@@ -128,6 +128,15 @@ def test_ivf_list_store_pruned_search_matches(mixture, spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and "centroid_id" in pf.group(1), \
         f"centroid partition filter not pushed: {pf and pf.group(1)}"
+
+    # a different quantizer than the one that assigned the lists → refused
+    # (mirrors the LSH bucket store's model-fingerprint guard)
+    import pytest as _pytest
+
+    C2 = ivf.fit_centroids(train, 20, "cosine", seed=7)
+    with _pytest.raises(ValueError, match="quantizer mismatch"):
+        ivf.search_from_store(queries, store, corpus, C2, 10, 0.05,
+                              "cosine", nprobe=3)
 
 
 def test_ivf_dist_impls_agree(mixture, spark):
