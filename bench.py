@@ -297,18 +297,40 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
     n_q = queries.count()
     gt = spark.read.parquet(f"{out_dir}/ground_truth.parquet").cache()
     gt.count()
+    # untimed python-worker pool warm-up: the bucket build is the first
+    # Arrow/python stage of this leg and would otherwise pay the one-time
+    # pool spin-up (~5 s at 32 workers) inside its timed window — a session
+    # cost, not training work (the search legs already get this treatment)
+    train.select("id").mapInPandas(lambda it: it, "id long").count()
 
     acfg = AnnConfig(n_trees=n_trees, k_min_vecs=k_min_vecs, dims=dims,
                      is_angular=angular, seed=42,
                      sample_size=fit_sample or n_train)
-    t0 = time.time()
-    model = ann.fit_from_df(train, acfg, "vec")
-    t_fit = time.time()
-    buckets = ann.build_buckets(train, model, "id", "vec").persist()
-    buckets.count()
-    timings[f"{tag}_lsh_train"] = round(time.time() - t0, 3)
-    extra[f"{tag}_lsh_fit"] = round(t_fit - t0, 3)
-    extra[f"{tag}_lsh_bucket_build"] = round(time.time() - t_fit, 3)
+    # best-of-2 timed draws on the TRAIN leg too (r4 VERDICT task 1a): the
+    # fit drew 12.9 vs 41.0 s across runs on this shared VM, the same
+    # single-draw misread the search legs already guard against.  The fit is
+    # deterministic, so both draws produce the identical forest — keep the
+    # buckets of the faster draw.
+    train_draws: list[float] = []
+    model = buckets = None
+    for _ in range(2):
+        t0 = time.time()
+        m = ann.fit_from_df(train, acfg, "vec")
+        t_fit = round(time.time() - t0, 3)
+        b = ann.build_buckets(train, m, "id", "vec").persist()
+        b.count()
+        dt = round(time.time() - t0, 3)
+        train_draws.append(dt)
+        if dt == min(train_draws):
+            if buckets is not None:
+                buckets.unpersist()
+            model, buckets = m, b
+            extra[f"{tag}_lsh_fit"] = t_fit
+            extra[f"{tag}_lsh_bucket_build"] = round(dt - t_fit, 3)
+        else:
+            b.unpersist()
+    timings[f"{tag}_lsh_train"] = min(train_draws)
+    extra[f"{tag}_lsh_train_draws"] = train_draws
 
     def lsh():
         # matmul_grouped: at wide dims the pairwise verify's per-candidate
@@ -482,26 +504,53 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    def timed_best(name, fn, n=2):
+        """Best-of-n timed draws, all published (r4 VERDICT task 2: identical
+        legs on this shared VM vary up to 2×, and r4's exact_dedup/
+        signatures/lsh_pairs all-slower draws were unprovable VM noise
+        without the draws on record).  ``fn`` builds fresh state each call —
+        a persisted DataFrame result from a superseded draw is unpersisted;
+        the best draw's result is returned."""
+        draws: list[float] = []
+        best = None
+        for _ in range(n):
+            t0 = time.time()
+            res = fn()
+            draws.append(round(time.time() - t0, 3))
+            if draws[-1] == min(draws):
+                if best is not None and hasattr(best, "unpersist"):
+                    best.unpersist()
+                best = res
+            elif hasattr(res, "unpersist"):
+                res.unpersist()
+        timings[name] = min(draws)
+        extra[name + "_draws"] = draws
+        return best
+
     # 1. exact dedup (hash groupBy)
-    timed("exact_dedup", lambda: exact_dup_groups(docs, "doc_id", "content").count())
+    timed_best("exact_dedup",
+               lambda: exact_dup_groups(docs, "doc_id", "content").count())
 
     # 2. signature build — the production fused Arrow path
     from lsh_search_go_spark.functions.signatures import with_signatures_fused
 
     def build_sigs():
-        sh = with_signatures_fused(docs, cfg)
-        return sh.persist(), sh.count()
+        sh = with_signatures_fused(docs, cfg).persist()
+        sh.count()
+        return sh
 
-    sigs, _ = timed("signatures_pandas", build_sigs)
+    sigs = timed_best("signatures_pandas", build_sigs)
 
     # 3. LSH bucket join → candidate pairs → exact verify
     def lsh_pairs():
         buckets = explode_bands(sigs.filter(F.size("shingles") > 0), "doc_id", "bands")
         cands = candidate_pairs(buckets, "doc_id", cfg.max_bucket_size)
-        return jaccard_verify(cands, sigs, cfg.jaccard_threshold, "doc_id",
-                              "shingles").persist()
+        p = jaccard_verify(cands, sigs, cfg.jaccard_threshold, "doc_id",
+                           "shingles").persist()
+        p.count()
+        return p
 
-    pairs = timed("lsh_dedup_pairs", lambda: (lambda p: (p, p.count()))(lsh_pairs())[0])
+    pairs = timed_best("lsh_dedup_pairs", lsh_pairs)
     extra["n_dup_pairs"] = pairs.count()
 
     # 4. connected components
