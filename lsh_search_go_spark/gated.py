@@ -90,11 +90,34 @@ def q_exact_dup_pairs(spark, sf_dir):
                               "doc_id", "content")
 
 
-def _plant_exact_dups(docs: DataFrame) -> DataFrame:
-    return docs.unionByName(
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
-    )
+def _plant_exact_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture helper: union a deterministic re-keyed copy of a subset of
+    rows, so exact-dup relations are non-vacuous on fixtures with no
+    byte-identical pair.  Engine-portable by construction (the DuckDB oracle
+    mirrors each branch with plain SQL):
+
+    * integral ids — every 97th id, re-keyed by +10^9 (the r4 gate scheme,
+      unchanged, so the existing oracle CTE stays valid);
+    * string ids — rows whose sha256(id) hex starts with '0' (≈1/16 of
+      rows), re-keyed with a ``::dup`` suffix (sha2/sha256 agree across
+      engines; Spark's ``hash()`` would not).
+
+    Other id types raise: the fixture contract requires a re-key expression
+    both engines compute identically, which must be added per type."""
+    dt = dict(docs.dtypes)[id_col]
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return docs.unionByName(
+            docs.filter(F.col(id_col) % 97 == 0)
+            .withColumn(id_col, F.col(id_col) + F.lit(1_000_000_000))
+        )
+    if dt == "string":
+        return docs.unionByName(
+            docs.filter(F.substring(F.sha2(F.col(id_col), 256), 1, 1) == "0")
+            .withColumn(id_col, F.concat(F.col(id_col), F.lit("::dup")))
+        )
+    raise TypeError(
+        f"_plant_exact_dups: no engine-portable re-key scheme for id column "
+        f"{id_col!r} of type {dt!r} (supported: integral, string)")
 
 
 def q_doc_profile(spark, sf_dir):

@@ -615,7 +615,24 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
     fingerprinting are accepted as-is)."""
     spark = queries.sparkSession
     hash_partitions, store_fp = _store_meta(spark, store_path)
-    if store_fp is not None:
+    if store_fp is None:
+        # r4 ADVICE (medium): a pre-fingerprint store is accepted as-is, but
+        # hash_batch's traversal precision changed at MODEL_VERSION 2 (f64 →
+        # f32 dots), so a store built by an older engine probed by this one
+        # can silently lose eps-borderline vectors — exactly the drift the
+        # fingerprint guard exists to catch.  Make the blind spot loud.
+        import warnings
+
+        warnings.warn(
+            f"bucket store at {store_path!r} carries no model fingerprint "
+            "(written before fingerprinting, MODEL_VERSION < 2): the probe "
+            "model cannot be checked against the forest that built the "
+            "store, and traversal-precision changes since then mean hashes "
+            "may have drifted for eps-borderline vectors — a silent, "
+            "undetectable recall loss. Rebuild the store with "
+            "write_bucket_store(..., model=...) to restore the guard.",
+            stacklevel=2)
+    else:
         caller_fp = model_fingerprint(model)
         if caller_fp != store_fp:
             raise ValueError(

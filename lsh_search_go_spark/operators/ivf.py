@@ -170,6 +170,37 @@ def write_list_store(inverted: DataFrame, path: str,
          .json(path.rstrip("/") + "/_store_meta"))
 
 
+def _list_store_meta(spark, store_path: str) -> str | None:
+    """Centroid fingerprint from a list store's ``_store_meta``, or None for
+    a genuinely pre-fingerprint store.  Only a MISSING meta path downgrades
+    to legacy handling (r4 ADVICE: a bare ``except Exception`` here made a
+    transient S3/JSON read failure indistinguishable from a legacy store and
+    silently disabled the quantizer-mismatch guard) — real read errors
+    propagate.  Accepting a legacy store is announced with a warning, since
+    the guard it lacks is the only protection against probing with the wrong
+    quantizer."""
+    import warnings
+
+    from pyspark.errors import AnalysisException
+
+    meta_path = store_path.rstrip("/") + "/_store_meta"
+    try:
+        row = spark.read.json(meta_path).head()
+    except AnalysisException:                 # path absent → legacy store
+        warnings.warn(
+            f"IVF list store at {store_path!r} has no _store_meta "
+            "(written before quantizer fingerprinting): the probe centroids "
+            "cannot be checked against the ones that assigned the lists — "
+            "a mismatch silently routes queries to the wrong lists. "
+            "Rebuild the store with write_list_store(..., centroids=...).",
+            stacklevel=3)
+        return None
+    try:
+        return row["centroid_fingerprint"]
+    except Exception:                         # meta present, field absent
+        return None
+
+
 def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
                       centroids: np.ndarray, k: int, max_dist: float,
                       metric: str = "cosine", nprobe: int = 4,
@@ -184,11 +215,7 @@ def search_from_store(queries: DataFrame, store_path: str, corpus: DataFrame,
     from lsh_search_go_spark.operators.ann import _collect_queries
 
     spark = queries.sparkSession
-    try:
-        meta = spark.read.json(store_path.rstrip("/") + "/_store_meta").head()
-        store_fp = meta["centroid_fingerprint"]
-    except Exception:
-        store_fp = None                       # pre-fingerprint store
+    store_fp = _list_store_meta(spark, store_path)
     if store_fp is not None:
         caller_fp = centroid_fingerprint(centroids)
         if caller_fp != store_fp:
@@ -242,11 +269,21 @@ def search(queries: DataFrame, inverted: DataFrame, corpus: DataFrame,
     if q_ids:
         probes_np = probe_centroids_np(Q, np.asarray(centroids, np.float64),
                                        nprobe, metric)
-        rows = [(q_ids[i], int(c))
-                for i in range(len(q_ids)) for c in probes_np[i]]
-    else:
-        rows = []   # empty query batch → empty result, like ann.search
-    probes = spark.createDataFrame(rows, f"query_id {qtype}, centroid_id int")
+        # Arrow path, mirroring ann.candidate_pairs (r4 VERDICT task 4): one
+        # pandas frame instead of a Python list-of-tuples, which pays per-row
+        # Py4J serialization at mid-size query batches.  The id array is
+        # built element-wise 1-D: np.asarray would flatten tuple-like ids.
+        id_arr = np.empty(len(q_ids), dtype=object)
+        id_arr[:] = q_ids
+        probes = spark.createDataFrame(
+            pd.DataFrame({
+                "query_id": np.repeat(id_arr, probes_np.shape[1]),
+                "centroid_id": probes_np.reshape(-1).astype(np.int32),
+            }),
+            schema=f"query_id {qtype}, centroid_id int",
+        )
+    else:   # empty query batch → empty result, like ann.search
+        probes = spark.createDataFrame([], f"query_id {qtype}, centroid_id int")
     cands = (
         F.broadcast(probes)
         .join(inverted.withColumnRenamed(id_col, "neighbor_id"), "centroid_id")

@@ -289,9 +289,13 @@ def test_bucket_store_refuses_mismatched_model(spark, vecs, tmp_path):
     with pytest.raises(ValueError, match="model mismatch"):
         ann.search_from_store(queries, store, corpus, other, 5, 1e9, "l2")
 
-    # a pre-fingerprint store (no model= at write time) stays accepted
+    # a pre-fingerprint store (no model= at write time) stays accepted, but
+    # LOUDLY: without the fingerprint the guard is blind, and traversal
+    # precision changed at MODEL_VERSION 2, so legacy hashes may have
+    # drifted (r4 ADVICE)
     legacy = str(tmp_path / "legacy_store")
     ann.write_bucket_store(ann.build_buckets(corpus, model), legacy,
                            hash_partitions=8)
-    assert ann.search_from_store(queries, legacy, corpus, model, 5, 1e9,
-                                 "l2").count() > 0
+    with pytest.warns(UserWarning, match="no model fingerprint"):
+        assert ann.search_from_store(queries, legacy, corpus, model, 5, 1e9,
+                                     "l2").count() > 0

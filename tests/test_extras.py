@@ -245,6 +245,83 @@ def test_incremental_pairs_cumulative_equals_batch(spark, tmp_path):
     assert cumulative == batch
 
 
+def test_incremental_pairs_cumulative_equals_batch_simhash(spark, tmp_path):
+    """The simhash strategy of the touched-bucket incremental pair job
+    (r4 VERDICT task 6), driven by the EPOCH watermark instead of wall-clock
+    timestamps (r4 ADVICE: epochs are the checkpoint's own monotone
+    micro-batch ids — no tie to straddle): ingest in 3 rounds, pair
+    incrementally per round via bit-slice simhash buckets + Hamming verify,
+    and assert the cumulative edge set equals the one-shot batch job."""
+    import pandas as pd
+
+    from lsh_search_go_spark.streaming.incremental import (
+        incremental_pairs, latest_epoch, start_incremental_ingest)
+
+    cfg = DedupConfig(strip_comments=True)
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "index")
+    os.makedirs(src_dir)
+
+    corpus = synth.generate(n_files=90, seed=33)
+    pdf = pd.DataFrame(corpus.rows).sample(frac=1.0, random_state=7)
+    drops = [pdf.iloc[0:30], pdf.iloc[30:60], pdf.iloc[60:]]
+
+    cumulative: set[tuple] = set()
+    since = None
+    for r, drop in enumerate(drops):
+        drop.to_parquet(os.path.join(src_dir, f"drop{r}.parquet"), index=False)
+        q = start_incremental_ingest(spark, src_dir, out_dir, cfg,
+                                     impl="pandas")
+        q.awaitTermination(120)
+        got = incremental_pairs(spark, out_dir, cfg, since=since,
+                                strategy="simhash")
+        round_pairs = {(p.src_id, p.dst_id) for p in got.collect()}
+        if since is not None:
+            new_ids = {
+                r2.doc_id
+                for r2 in spark.read.parquet(os.path.join(out_dir, "signatures"))
+                .filter(F.col("_epoch") > F.lit(since))
+                .select(F.col(cfg.id_col).alias("doc_id")).collect()
+            }
+            assert all(s in new_ids or d in new_ids for s, d in round_pairs)
+        cumulative |= round_pairs
+        since = latest_epoch(spark, out_dir)   # quiesced: ingest terminated
+
+    batch = {(p.src_id, p.dst_id)
+             for p in incremental_pairs(spark, out_dir, cfg,
+                                        strategy="simhash").collect()}
+    assert batch, "fixture produced no simhash duplicate pairs — vacuous"
+    assert cumulative == batch
+
+
+def test_plant_exact_dups_string_ids(spark):
+    """The exact-dup fixture planter must work for string ids too (r4
+    VERDICT task 5): the integral scheme is unchanged, the string scheme
+    re-keys a deterministic sha256-selected subset, and unsupported id
+    types raise with the fixture contract spelled out."""
+    from lsh_search_go_spark.gated import _plant_exact_dups
+    from lsh_search_go_spark.operators.exact import exact_dup_pairs
+
+    rows = [(f"doc-{i:04d}", f"content body {i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id string, content string")
+    planted = _plant_exact_dups(docs)
+    extra = planted.count() - 200
+    assert extra > 0, "sha-prefix selection planted nothing at n=200"
+    pairs = exact_dup_pairs(planted, "doc_id", "content")
+    assert pairs.count() == extra     # each planted copy pairs its original
+
+    # integral ids keep the r4 scheme byte-for-byte
+    int_docs = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(200)], "doc_id long, content string")
+    got = {r.doc_id for r in _plant_exact_dups(int_docs)
+           .filter(F.col("doc_id") >= 1_000_000_000).collect()}
+    assert got == {1_000_000_000 + i for i in range(0, 200, 97)}
+
+    bad = spark.createDataFrame([(1.5, "x")], "doc_id double, content string")
+    with pytest.raises(TypeError, match="no engine-portable re-key"):
+        _plant_exact_dups(bad)
+
+
 # --- substring blocking skew guard (r1 VERDICT #7) ---------------------------
 
 def test_substring_block_cap_license_header(spark):

@@ -138,6 +138,18 @@ def test_ivf_list_store_pruned_search_matches(mixture, spark, tmp_path):
         ivf.search_from_store(queries, store, corpus, C2, 10, 0.05,
                               "cosine", nprobe=3)
 
+    # a store written without centroids (pre-fingerprint) is accepted, but
+    # LOUDLY — the quantizer guard is blind there (r4 ADVICE: only a
+    # genuinely missing meta may downgrade; real read errors propagate)
+    legacy = str(tmp_path / "legacy_list_store")
+    ivf.write_list_store(inv, legacy)
+    with _pytest.warns(UserWarning, match="no _store_meta"):
+        got_legacy = {(r.query_id, r.rank, r.neighbor_id)
+                      for r in ivf.search_from_store(
+                          queries, legacy, corpus, C, 10, 0.05,
+                          "cosine", nprobe=3).collect()}
+    assert got_legacy == base
+
 
 def test_ivf_dist_impls_agree(mixture, spark):
     train, corpus, queries = mixture
