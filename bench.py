@@ -753,7 +753,25 @@ def main() -> None:
     if args.json_out:
         with open(args.json_out, "w") as f:
             f.write(out + "\n")
+    # --pipeline-only runs are scaling sub-legs / quick smokes at arbitrary
+    # corpus sizes — their files/sec would overwrite the table's throughput
+    # row with non-benchmark numbers (the scaling driver ingests its own
+    # consolidated report instead)
+    if not args.pipeline_only:
+        _ingest_into_baseline(line)
     spark.stop()
+
+
+def _ingest_into_baseline(line: dict) -> None:
+    """Feed this run's numbers to the BASELINE.md measured-table generator
+    (r4 VERDICT task 7: one generator, rounds can't drift).  Never lets a
+    bookkeeping failure fail the bench itself."""
+    try:
+        from tools.update_baseline import ingest_bench_line
+
+        ingest_bench_line(line)
+    except Exception as e:                                  # noqa: BLE001
+        print(f"(baseline table update skipped: {e})", file=sys.stderr)
 
 
 def run_scaling(args) -> None:
@@ -806,6 +824,7 @@ def run_scaling(args) -> None:
     print(json.dumps(report))
     with open("BENCH_SCALING.md", "w") as f:
         f.write(render_bench_md(results, report, n_lo, n_hi, factor))
+    _ingest_into_baseline(report)
 
 
 def render_bench_md(results: dict, report: dict, n_lo: int, n_hi: int,
