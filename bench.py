@@ -437,21 +437,18 @@ def _run_annbench(spark, tag: str, dir_name: str, gen, n_trees: int,
     train_draws: list[float] = []
     model = buckets = None
     for _ in range(2):
+        if buckets is not None:
+            buckets.unpersist()        # cache-honesty: see timed_best
         t0 = time.time()
-        m = ann.fit_from_df(train, acfg, "vec")
+        model = ann.fit_from_df(train, acfg, "vec")
         t_fit = round(time.time() - t0, 3)
-        b = ann.build_buckets(train, m, "id", "vec").persist()
-        b.count()
+        buckets = ann.build_buckets(train, model, "id", "vec").persist()
+        buckets.count()
         dt = round(time.time() - t0, 3)
         train_draws.append(dt)
         if dt == min(train_draws):
-            if buckets is not None:
-                buckets.unpersist()
-            model, buckets = m, b
             extra[f"{tag}_lsh_fit"] = t_fit
             extra[f"{tag}_lsh_bucket_build"] = round(dt - t_fit, 3)
-        else:
-            b.unpersist()
     timings[f"{tag}_lsh_train"] = min(train_draws)
     extra[f"{tag}_lsh_train_draws"] = train_draws
 
@@ -631,24 +628,25 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
         """Best-of-n timed draws, all published (r4 VERDICT task 2: identical
         legs on this shared VM vary up to 2×, and r4's exact_dedup/
         signatures/lsh_pairs all-slower draws were unprovable VM noise
-        without the draws on record).  ``fn`` builds fresh state each call —
-        a persisted DataFrame result from a superseded draw is unpersisted;
-        the best draw's result is returned."""
+        without the draws on record).
+
+        Cache-honesty: the previous draw's persisted result is unpersisted
+        BEFORE the next draw runs — Spark's CacheManager serves any later
+        IDENTICAL analyzed plan from a registered cache, so keeping draw 1
+        persisted turns draw 2 into a cache scan (observed: signatures
+        4.8 s draw-1 vs 0.39 s draw-2).  The last draw's (fresh, persisted)
+        result is returned; min over draws is the published number."""
         draws: list[float] = []
-        best = None
+        res = None
         for _ in range(n):
+            if res is not None and hasattr(res, "unpersist"):
+                res.unpersist()
             t0 = time.time()
             res = fn()
             draws.append(round(time.time() - t0, 3))
-            if draws[-1] == min(draws):
-                if best is not None and hasattr(best, "unpersist"):
-                    best.unpersist()
-                best = res
-            elif hasattr(res, "unpersist"):
-                res.unpersist()
         timings[name] = min(draws)
         extra[name + "_draws"] = draws
-        return best
+        return res
 
     # 1. exact dedup (hash groupBy)
     timed_best("exact_dedup",
@@ -678,6 +676,11 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
 
     # 4. connected components
     timed("dup_clusters", lambda: assign_clusters(docs, pairs, "doc_id").count())
+    # release this section's caches: leaked executor-memory blocks otherwise
+    # ride into the ANN and FMNIST legs and show up as their GC pressure
+    pairs.unpersist()
+    sigs.unpersist()
+    docs.unpersist()
 
     # 5. ANN at benchmark scale: deterministic synthetic gaussian-mixture
     # fixture (the sf0.1 embeddings table is 2k rows — too small for candidate
@@ -774,6 +777,9 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict:
         timings["ann_bruteforce_search"] / max(timings["ann_lsh_search"], 1e-9), 2)
     lsh_res.unpersist()
     bf_res.unpersist()
+    buckets.unpersist()
+    emb.unpersist()          # ~600 MB of vector cache must not ride into
+    queries.unpersist()      # the FMNIST leg as resident GC pressure
 
     # 6. full pipeline on the synthetic code corpus → files/sec headline.
     # The corpus parquet is materialized OUTSIDE the timed window (production
