@@ -393,11 +393,22 @@ def hash_batch(X: np.ndarray, model: HasherModel) -> np.ndarray:
     return hash_batch_tables(X, traversal_tables(model))
 
 
-def hash_batch_tables(X: np.ndarray, tables: TraversalTables) -> np.ndarray:
+def hash_batch_tables(X: np.ndarray, tables: TraversalTables,
+                      workers: int = 1,
+                      chunk_rows: int | None = None) -> np.ndarray:
     """Traversal core over :class:`TraversalTables` (what executors receive).
     While every row of a chunk is still live the einsum reads it in place
     (no row gather); once rows start parking in leaves only the live subset
-    is gathered."""
+    is gathered.
+
+    ``workers``: trees are independent, so a driver-side whole-corpus hash
+    (:func:`build_buckets_driver`) can thread across them.  Threading ONLY
+    pays with large ``chunk_rows``: at the default executor chunk (~167
+    rows at 784 dims) the per-op numpy spans are too short to release the
+    GIL usefully and an 8-thread pool measured 3× SLOWER than serial;
+    chunk 8192 × 8 threads measured 1.9 s vs 4.6 s serial on 60k×784×10.
+    Executor contexts keep workers=1 / default chunk — 32 concurrent tasks
+    already saturate the cores and share one L3."""
     X = np.asarray(X, dtype=np.float64)
     if tables.is_angular:
         X = _normalize(X)
@@ -407,9 +418,11 @@ def hash_batch_tables(X: np.ndarray, tables: TraversalTables) -> np.ndarray:
     # Row chunking keeps one chunk's (rows + gathered planes) working set in
     # per-core cache: with 32 concurrent executor workers sharing one L3, a
     # whole-batch gather per level thrashes and the stage goes DRAM-bound.
-    chunk = max(1, (1 << 19) // max(4 * X32.shape[1], 1))   # ~0.5 MB of rows
-    for t_idx, (normals32, offsets32, left, right) in enumerate(tables.trees):
-        h = np.zeros(B, dtype=np.int64)
+    chunk = chunk_rows or max(1, (1 << 19) // max(4 * X32.shape[1], 1))
+
+    def one_tree(t_idx: int) -> None:
+        normals32, offsets32, left, right = tables.trees[t_idx]
+        h = np.zeros(B, dtype=np.int64)     # contiguous per-tree column
         for s in range(0, B, chunk):
             Xa = X32[s:s + chunk]
             A = Xa.shape[0]
@@ -430,6 +443,15 @@ def hash_batch_tables(X: np.ndarray, tables: TraversalTables) -> np.ndarray:
                 act = act[nxt >= 0]
                 depth += 1
         out[:, t_idx] = h
+
+    if workers > 1 and len(tables.trees) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(one_tree, range(len(tables.trees))))
+    else:
+        for t_idx in range(len(tables.trees)):
+            one_tree(t_idx)
     return out
 
 
@@ -513,6 +535,62 @@ def build_buckets(df: DataFrame, model: HasherModel, id_col: str = "id",
     return exploded_tree_hashes(df, model, vec_col, (id_col,)).select(
         id_col, "tree_id", "hash"
     )
+
+
+def collect_id_vec_matrix(df: DataFrame, id_col: str = "id",
+                          vec_col: str = "vec") -> tuple[np.ndarray, np.ndarray]:
+    """(ids, (n, dims) float64 matrix) through ONE Arrow transfer — the
+    two-column sibling of :func:`collect_vec_matrix`, for callers that need
+    the ids too (e.g. a driver-side bucket build reusing the fit's corpus).
+    Same flat-reshape fast path; row order is the DataFrame's scan order,
+    identical for both columns (one collect)."""
+    sdf = df.select(id_col, vec_col)
+    try:
+        tbl = sdf.toArrow()
+        ids = tbl.column(0).to_numpy(zero_copy_only=False)
+        col = tbl.column(1).combine_chunks()
+        if col.null_count == 0 and len(col):
+            widths = np.diff(np.asarray(col.offsets))
+            if (widths == widths[0]).all():
+                flat = np.asarray(col.flatten(), dtype=np.float64)
+                return ids, flat.reshape(len(col), int(widths[0]))
+    except Exception:
+        pass
+    pdf = sdf.toPandas()
+    return (pdf[id_col].to_numpy(),
+            np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+
+
+def build_buckets_driver(spark, ids: np.ndarray, X: np.ndarray,
+                         model: HasherModel, id_col: str = "id",
+                         id_type: str = "bigint",
+                         workers: int = 8) -> DataFrame:
+    """Driver-side bucket build for a corpus whose matrix is ALREADY driver
+    resident — the reference's own Train regime (its whole index build is
+    one in-memory process, /root/reference/lsh/lsh.go:107-136).
+
+    Bit-identical to :func:`build_buckets` (same :func:`hash_batch_tables`
+    traversal), different physique: the distributed build ships the corpus
+    to the python workers AND a broadcast of the traversal tables to every
+    worker — at NYT scale the forest alone is ~0.6 GB × n_workers of
+    unpickling — whereas a full-corpus fit (``sample_size >= corpus``)
+    already paid the one Arrow collect, so hashing where the matrix lives
+    costs one tree-parallel traversal plus one Arrow upload of the narrow
+    (id, tree_id, hash) relation.  Use the distributed
+    :func:`build_buckets` whenever the corpus does NOT fit the driver —
+    that path is the 100 TB shape and stays the default everywhere else."""
+    hashes = hash_batch_tables(
+        np.asarray(X, dtype=np.float64), traversal_tables(model),
+        workers=workers, chunk_rows=8192)
+    n, n_trees = hashes.shape
+    ids = np.asarray(ids)
+    pdf = pd.DataFrame({
+        id_col: np.repeat(ids, n_trees),
+        "tree_id": np.tile(np.arange(n_trees, dtype=np.int32), n),
+        "hash": hashes.reshape(-1),
+    })
+    return spark.createDataFrame(
+        pdf, schema=f"{id_col} {id_type}, tree_id int, hash long")
 
 
 # ---------------------------------------------------------------------------

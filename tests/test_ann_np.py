@@ -299,3 +299,27 @@ def test_bucket_store_refuses_mismatched_model(spark, vecs, tmp_path):
     with pytest.warns(UserWarning, match="no model fingerprint"):
         assert ann.search_from_store(queries, legacy, corpus, model, 5, 1e9,
                                      "l2").count() > 0
+
+
+def test_build_buckets_driver_matches_distributed(spark, vecs):
+    """The driver-side bucket build (full-corpus-fit fast path: corpus matrix
+    already collected for the fit, forest never broadcast) must be
+    bit-identical to the distributed mapInPandas build — both go through
+    hash_batch_tables, so this pins the wiring (id repeat/tile layout, Arrow
+    upload schema) and the tree-parallel traversal (workers>1)."""
+    corpus, _ = vecs
+    cfg = AnnConfig(n_trees=5, k_min_vecs=40, dims=12, seed=3, sample_size=600)
+    ids, X = ann.collect_id_vec_matrix(corpus, "id", "vec")
+    assert X.shape == (600, 12) and len(ids) == 600
+    model = ann.fit(X, cfg)
+    dist = {(r.id, r.tree_id, r.hash)
+            for r in ann.build_buckets(corpus, model).collect()}
+    drv = {(r.id, r.tree_id, r.hash)
+           for r in ann.build_buckets_driver(spark, ids, X, model,
+                                             workers=4).collect()}
+    assert drv == dist
+    # and the collected matrix reproduces fit_from_df's full-corpus model
+    m2 = ann.fit_from_df(corpus, cfg, "vec")
+    assert all(np.array_equal(a.normals, b.normals)
+               and np.array_equal(a.left, b.left)
+               for a, b in zip(model.trees, m2.trees))
