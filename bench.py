@@ -970,9 +970,9 @@ def run_scaling(args) -> None:
         "synth_files": results[n_lo]["synth_files"],
     }
     print(json.dumps(report))
+    _ingest_into_baseline(report)  # first: history then includes this run
     with open("BENCH_SCALING.md", "w") as f:
         f.write(render_bench_md(results, report, n_lo, n_hi, factor))
-    _ingest_into_baseline(report)
 
 
 def render_bench_md(results: dict, report: dict, n_lo: int, n_hi: int,
@@ -1004,6 +1004,25 @@ def render_bench_md(results: dict, report: dict, n_lo: int, n_hi: int,
     for st in stages_lo:
         lines.append(f"| {st} | {stages_lo[st]} | {stages_hi.get(st, '-')} |")
     lines.append("")
+    # All prior N→4N pairs (tools/baseline_measured.json history) so a new
+    # run extends the record instead of silently replacing it; the headline
+    # pair is chosen by the coded policy in tools/update_baseline.py.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", "baseline_measured.json")) as f:
+            hist = json.load(f).get("scaling", {}).get("history", [])
+    except Exception:                                       # noqa: BLE001
+        hist = []
+    if hist:
+        lines += ["## All measured N→4N pairs", "",
+                  "| pair | f/s @ N | f/s @ 4N | efficiency | source |",
+                  "|---|---|---|---|---|"]
+        for h in hist:
+            lines.append(
+                f"| {h['legs'][0]}→{h['legs'][1]} | {h['files_per_sec_lo']} "
+                f"| {h['files_per_sec_hi']} | {h['efficiency']} "
+                f"| {h['source']} |")
+        lines.append("")
     return "\n".join(lines)
 
 
