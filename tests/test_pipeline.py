@@ -186,6 +186,27 @@ def test_resume_after_partial_failure(spark, source, run, tmp_path_factory):
     assert not {s.name: s for s in third.stages}["clusters"].resumed
 
 
+def test_input_order_independence(spark, source, run, tmp_path_factory):
+    """Shuffling the input row order must not change any artifact: signature
+    generation, band bucketing, pair emission and clustering are all
+    order-free set semantics (the 10^12-file target reads from however the
+    source is laid out — results can't depend on scan order)."""
+    _, baseline = run
+    shuffled = (source.withColumn("__r", F.sha2(F.concat_ws("§", "repo",
+                                                            "path"), 256))
+                .orderBy(F.desc("__r")).drop("__r")
+                .repartition(7))  # different partitioning too, not just order
+    workdir = str(tmp_path_factory.mktemp("ordershuf"))
+    pipe = DedupPipeline(spark, CFG, workdir, impl="pandas")
+    second = pipe.run(shuffled)
+    for table in ("pairs", "clusters"):
+        a = {tuple(r) for r in
+             spark.read.parquet(baseline.tables[table]).collect()}
+        b = {tuple(r) for r in
+             spark.read.parquet(second.tables[table]).collect()}
+        assert a == b, f"{table} differ under input reorder"
+
+
 def test_simhash_pairs_strategy_end_to_end(spark, source, tmp_path_factory):
     """pairs_strategy='simhash': banded bit-slice candidates + exact Hamming
     verify must equal the brute-force Hamming oracle exactly (pigeonhole:
