@@ -25,9 +25,25 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _local_input_bytes(path: str) -> int:
+    """Total bytes of a local parquet file/dir; big-input sentinel for
+    non-local paths (object stores, Iceberg table names) so the wide-layout
+    defaults apply there."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+    except OSError:
+        pass
+    return 1 << 62
 
 
 def main() -> None:
@@ -67,7 +83,10 @@ def main() -> None:
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets it otherwise)")
+    ap.add_argument("--conf", action="append", default=[], metavar="K=V",
+                    help="extra spark conf (repeatable); beats the local-mode defaults")
     args = ap.parse_args()
+    extra_conf = dict(kv.split("=", 1) for kv in args.conf)
 
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     from pyspark.sql import SparkSession
@@ -77,8 +96,35 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
     )
+    # Local-mode defaults, applied ONLY when this process is the launcher
+    # (plain `python job.py`): Spark's stock 200 shuffle partitions + 128m
+    # scan splits are cluster sizing. Measured at local[8] on tmpfs
+    # (BENCH.md data-scaling table): sub-~500MB inputs run 15-33% faster
+    # with 16m scan splits + core-matched shuffle partitions (100k files
+    # 135.0→90.3 s, 300k 338.8→286.6 s), while at 1M files/888MB the same
+    # setting LOSES 5-15% (pairs/substring want the wider 64m/200 layout:
+    # 949.8 s vs 992-1096 s) — so the split is size-aware. Under
+    # spark-submit the JVM is already up and the submitter's --conf owns
+    # every knob; touch nothing there. --conf here beats these defaults.
+    launched_by_spark_submit = ("PYSPARK_GATEWAY_PORT" in os.environ
+                                or "SPARK_APPLICATION_ID" in os.environ)
+    m = re.match(r"local(?:-cluster)?\[(\d+|\*)", args.master or "")
+    if m and not launched_by_spark_submit:
+        cores = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+        small = _local_input_bytes(args.input) < 500 * 1024 ** 2
+        defaults = {
+            "spark.sql.files.maxPartitionBytes": "16m" if small else "64m",
+        }
+        if small:
+            defaults["spark.sql.shuffle.partitions"] = str(max(8, 2 * cores))
+        if "--driver-memory" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+            defaults["spark.driver.memory"] = f"{max(16, 2 * cores)}g"
+        for key, val in defaults.items():
+            if key not in extra_conf:
+                builder = builder.config(key, val)
+    for key, val in extra_conf.items():
+        builder = builder.config(key, val)
     if args.master:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
