@@ -1,0 +1,28 @@
+"""job.py CLI helpers (no Spark session needed)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import job
+
+
+def test_local_input_bytes_file(tmp_path):
+    p = tmp_path / "x.parquet"
+    p.write_bytes(b"z" * 1234)
+    assert job._local_input_bytes(str(p)) == 1234
+
+
+def test_local_input_bytes_dir(tmp_path):
+    (tmp_path / "a").write_bytes(b"z" * 100)
+    (tmp_path / "b").write_bytes(b"z" * 50)
+    assert job._local_input_bytes(str(tmp_path)) == 150
+
+
+def test_local_input_bytes_nonlocal_is_big():
+    # Iceberg table names / object-store URIs must fall into the wide-layout
+    # (big-input) defaults, not the small-input tuning
+    for path in ("catalog.db.code_files", "s3://bucket/prefix",
+                 "/no/such/dir/at/all"):
+        assert job._local_input_bytes(path) >= 500 * 1024 ** 2
