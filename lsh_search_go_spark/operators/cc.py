@@ -90,7 +90,11 @@ def _driver_cc(edges: DataFrame) -> DataFrame:
     spark = edges.sparkSession
     out = [(n, find(n)) for n in sorted(nodes)]
     schema_t = dict(edges.dtypes)["src_id"]
-    return spark.createDataFrame(out, f"doc_id {schema_t}, cluster_id {schema_t}")
+    # bounded by the caller's driver budget (≤64 MB default) → always safe
+    # to broadcast: downstream label joins then shuffle NOTHING of the
+    # corpus side (assign_clusters over 10^12 ids stays a map-side join)
+    return F.broadcast(
+        spark.createDataFrame(out, f"doc_id {schema_t}, cluster_id {schema_t}"))
 
 
 def _driver_row_budget(edges: DataFrame, budget_bytes: int) -> int:
@@ -147,16 +151,32 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     labels = e.select(F.col("src_id").alias("doc_id"), F.col("dst_id").alias("cluster_id"))
     roots = e.select(F.col("dst_id").alias("doc_id"),
                      F.col("dst_id").alias("cluster_id")).distinct()
-    return labels.union(roots).distinct()
+    # labels cover only dup docs — small next to the corpus but unbounded, so
+    # no broadcast; the shuffle_hash makes downstream corpus joins hash-build
+    # on this side instead of sorting both (same shuffle, no corpus sort)
+    return labels.union(roots).distinct().hint("shuffle_hash")
 
 
 def assign_clusters(all_docs: DataFrame, edges: DataFrame,
                     id_col: str = "doc_id",
-                    driver_threshold: int | None = None) -> DataFrame:
+                    driver_threshold: int | None = None,
+                    docs_unique: bool = False) -> DataFrame:
     """Full assignment (doc_id, cluster_id): component min for connected docs,
-    self for singletons."""
+    self for singletons.
+
+    ``docs_unique=True`` skips the defensive ``distinct()`` when the caller
+    guarantees one row per id (the pipeline's signatures table is) — at
+    corpus scale that distinct is a full shuffle of every doc id for
+    nothing. Labels from the driver fast path arrive broadcast-hinted
+    (bounded by its byte budget), making this join map-side with ZERO
+    corpus-side shuffle; distributed-path labels get a shuffle-hash hint —
+    same shuffle as a sort-merge join but skips sorting the corpus side
+    (labels cover only dup docs, so the per-partition hash build stays
+    small)."""
     labels = connected_components(edges, driver_threshold=driver_threshold)
-    ids = all_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    ids = all_docs.select(F.col(id_col).alias("doc_id"))
+    if not docs_unique:
+        ids = ids.distinct()
     return (
         ids.join(labels, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))

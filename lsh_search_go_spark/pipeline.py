@@ -306,7 +306,8 @@ class DedupPipeline:
             # clusters: CC over verified dup edges (signatures carries every
             # doc_id, so singletons never need the raw source again)
             self._run_stage("clusters", result,
-                            lambda: assign_clusters(signatures, pairs, cfg.id_col))
+                            lambda: assign_clusters(signatures, pairs, cfg.id_col,
+                                                    docs_unique=True))
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             futs = [pool.submit(branch_pairs_clusters)]
