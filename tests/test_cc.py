@@ -69,3 +69,27 @@ def test_assign_clusters_includes_singletons(spark):
 def test_cc_empty_edges(spark):
     edges = spark.createDataFrame([], "src_id string, dst_id string")
     assert connected_components(edges).count() == 0
+
+
+def test_assign_clusters_join_strategy(spark):
+    """The label join must never sort the corpus side: driver-path labels
+    (bounded by the collect byte budget) broadcast, distributed-path labels
+    hash-build (shuffle_hash) — at 10^12 ids a SortMergeJoin's corpus-side
+    sort is the single most expensive avoidable operation in the stage."""
+    docs = spark.createDataFrame([(str(i),) for i in range(500)],
+                                 "doc_id string")
+    edges = spark.createDataFrame([("1", "2"), ("7", "8")],
+                                  "src_id string, dst_id string")
+    expected = {r.doc_id: r.cluster_id
+                for r in assign_clusters(docs, edges,
+                                         docs_unique=True).collect()}
+
+    driver = assign_clusters(docs, edges, docs_unique=True)
+    plan = driver._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    dist = assign_clusters(docs, edges, driver_threshold=0, docs_unique=True)
+    got = {r.doc_id: r.cluster_id for r in dist.collect()}
+    assert got == expected, "join strategy must not change assignments"
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
