@@ -224,10 +224,21 @@ def _batch_shingles(flat_hashes: np.ndarray, counts: np.ndarray,
 
 
 def with_signatures_fused(df: DataFrame, cfg: DedupConfig,
-                          content_col: str | None = None) -> DataFrame:
+                          content_col: str | None = None,
+                          rebalance: bool = True) -> DataFrame:
     """Adds shingles/minhash/bands/simhash + the substring-pass inputs
-    (norm_text, first/last shingle keys) in one Arrow pass over content."""
+    (norm_text, first/last shingle keys) in one Arrow pass over content.
+
+    ``rebalance``: guard against a degenerate input layout (guide §2.5 —
+    e.g. a single-file corpus read as one non-empty partition, which would
+    run the whole fused kernel on one core).  The pipeline disables it
+    because its ingest stage has just hash-repartitioned the source."""
     content_col = content_col or cfg.content_col
+    if rebalance:
+        from lsh_search_go_spark.functions.layout import maybe_rebalance
+
+        df = maybe_rebalance(df, key_col=cfg.id_col if cfg.id_col in df.columns
+                             else None)
     a, b = cfg.minhash_params
     an = np.asarray(a, dtype=np.int64)
     bn = np.asarray(b, dtype=np.int64)

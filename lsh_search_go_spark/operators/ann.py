@@ -460,14 +460,25 @@ def exploded_tree_hashes(df: DataFrame, model: HasherModel,
                          keep_cols: tuple[str, ...] = ("id",)) -> DataFrame:
     """(keep_cols..., vec) → exploded (keep_cols..., tree_id int, hash long).
 
-    ONE ``mapInPandas`` pass emits the exploded rows directly (getHashes
+    ONE ``mapInArrow`` pass emits the exploded rows directly (getHashes
     analog, /root/reference/lsh/hasher.go:190-219, minus its mutex-serialized
     pseudo-parallelism which we note and do not replicate).  Emitting the
     exploded relation from inside the UDF — instead of a ``posexplode`` over
     a pandas-UDF array column — is deliberate: Spark plans the latter as
     stacked ``ArrowEvalPython`` nodes that evaluate the hash UDF twice per
     row (r1 PLANS.md finding); this shape evaluates it exactly once and the
-    output rows are already narrow (ids + two ints, no vectors)."""
+    output rows are already narrow (ids + two ints, no vectors).
+
+    Arrow-native (r6): the vector column converts to the (B, dims) matrix by
+    one flat-buffer reshape and the output batch is assembled from numpy
+    arrays + type-preserving takes — the former mapInPandas pass materialized
+    one ndarray object per row on the way in and re-boxed every output cell
+    on the way out, which at 10^6 corpus rows cost ~5× the traversal math
+    itself (guide §4.2)."""
+    import pyarrow as pa
+
+    from lsh_search_go_spark.functions import arrowmat as AM
+
     spark = df.sparkSession
     # broadcast the slim TRAVERSAL TABLES, not the model: numpy arrays
     # pickle as raw buffers (a to_dict() broadcast made every task re-parse
@@ -478,25 +489,37 @@ def exploded_tree_hashes(df: DataFrame, model: HasherModel,
     bc = spark.sparkContext.broadcast(traversal_tables(model))
     n_trees = len(model.trees)
     in_df = df.select(*keep_cols, vec_col)
+    # Degenerate-layout guard (guide §2.5): a single-row-group parquet corpus
+    # feeds every Arrow batch to ONE python worker — the 1M×64 bucket build
+    # measured 13-16 s with the traversal kernel itself at 1.3 s across 32
+    # processes.  Hashing costs ~12 μs/row serial vs ~5 μs/row to shuffle a
+    # 512-byte row once, so rebalancing pays whenever the layout is skewed.
+    from lsh_search_go_spark.functions.layout import maybe_rebalance
+
+    in_df = maybe_rebalance(in_df, key_col=keep_cols[0] if keep_cols else None)
     schema = T.StructType(
         [in_df.schema[c] for c in keep_cols]
         + [T.StructField("tree_id", T.IntegerType(), False),
            T.StructField("hash", T.LongType(), False)]
     )
+    names = [*keep_cols, "tree_id", "hash"]
 
     def gen(batches):
         tables = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy())  # (B, dims), no per-row asarray
+            X = AM.matrix_from_column(AM.batch_column(batch, vec_col))
             hashes = hash_batch_tables(X, tables)  # (B, n_trees)
-            out = {c: np.repeat(pdf[c].to_numpy(), n_trees) for c in keep_cols}
-            out["tree_id"] = np.tile(np.arange(n_trees, dtype=np.int32), len(pdf))
-            out["hash"] = hashes.reshape(-1)
-            yield pd.DataFrame(out)
+            rep = np.repeat(np.arange(n, dtype=np.int64), n_trees)
+            arrays = [AM.take(AM.batch_column(batch, c), rep)
+                      for c in keep_cols]
+            arrays.append(pa.array(np.tile(np.arange(n_trees, dtype=np.int32), n)))
+            arrays.append(pa.array(hashes.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return in_df.mapInPandas(gen, schema)
+    return in_df.mapInArrow(gen, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -858,6 +881,17 @@ def verify_topk(q: DataFrame, cands: DataFrame, corpus: DataFrame,
 
     maybe_bc = F.broadcast if broadcast_small else (lambda df: df)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    if dist_impl == "matmul_grouped" and collected is not None \
+            and len(collected[0]) >= 256:
+        # Degenerate-layout guard (guide §2.5) on the verify's stream side:
+        # the broadcast join preserves the corpus partitioning, so a
+        # single-row-group corpus runs the whole gram on one core (measured
+        # 10-16 s for the 1000-query 60k×784 leg vs ~1.5 s spread).  Gated
+        # on batch size like the brute-force scan: the gram costs ~2·nq·d
+        # flops per touched row vs 8·d shuffled bytes per corpus row once.
+        from lsh_search_go_spark.functions.layout import maybe_rebalance
+
+        c = maybe_rebalance(c, key_col="neighbor_id")
     if dist_impl == "matmul_grouped":
         # Wide-vector / big-query-batch verify: candidates are grouped per
         # corpus row BEFORE the join, so each corpus vector crosses the
@@ -1007,6 +1041,10 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
     /root/reference/annbench/annbench.go:83-125)."""
     from lsh_search_go_spark.config import TOL
 
+    import pyarrow as pa
+
+    from lsh_search_go_spark.functions import arrowmat as AM
+
     spark = q.sparkSession
     q_ids, Q = collected if collected is not None else _collect_queries(q)
     bc = spark.sparkContext.broadcast((q_ids, Q))
@@ -1017,15 +1055,16 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
     def op(batches):
         q_ids_l, Qm = bc.value
         Qm = np.asarray(Qm)
-        idx = {qid: i for i, qid in enumerate(q_ids_l)}
+        lookup = AM.id_index_lookup(q_ids_l)
         if metric == "cosine":
             qn = np.linalg.norm(Qm, axis=1, keepdims=True)
             Qn = Qm / np.where(qn > TOL, qn, 1.0)
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            C = np.stack(pdf["__cvec"].to_numpy())
-            qi = pdf["query_id"].map(idx).to_numpy(dtype=np.int64)
+            qid_col = AM.batch_column(batch, "query_id")
+            C = AM.matrix_from_column(AM.batch_column(batch, "__cvec"))
+            qi = lookup(np.asarray(qid_col))
             if metric == "l2":
                 d = np.linalg.norm(C - Qm[qi], axis=1)
             else:
@@ -1035,11 +1074,12 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
                 zero = (cn[:, 0] <= TOL) | (qn[qi, 0] <= TOL)
                 d[zero] = 1.0                       # zero-vector guard (helpers.go:224-231)
                 d[d < TOL] = 0.0                    # clamp (helpers.go:232-233)
-            yield pd.DataFrame({"query_id": pdf["query_id"],
-                                "neighbor_id": pdf["neighbor_id"],
-                                "dist": d})
+            # id columns pass through untouched (no pandas re-boxing)
+            yield pa.RecordBatch.from_arrays(
+                [qid_col, AM.batch_column(batch, "neighbor_id"), pa.array(d)],
+                names=["query_id", "neighbor_id", "dist"])
 
-    return joined.select("query_id", "neighbor_id", "__cvec").mapInPandas(op, schema)
+    return joined.select("query_id", "neighbor_id", "__cvec").mapInArrow(op, schema)
 
 
 def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
@@ -1057,6 +1097,10 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
     materialize the naive 8 GB matrix this backend is meant for."""
     from lsh_search_go_spark.config import TOL
 
+    import pyarrow as pa
+
+    from lsh_search_go_spark.functions import arrowmat as AM
+
     spark = q.sparkSession
     q_ids, Q = collected if collected is not None else _collect_queries(q)
     bc = spark.sparkContext.broadcast((q_ids, Q))
@@ -1067,29 +1111,27 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
     def op(batches):
         q_ids_l, Qm = bc.value
         Qm = np.asarray(Qm)
-        idx = {qid: i for i, qid in enumerate(q_ids_l)}
-        q_ids_arr = np.empty(len(q_ids_l), dtype=object)
-        q_ids_arr[:] = q_ids_l                  # 1-D even for tuple-like ids
+        lookup = AM.id_index_lookup(q_ids_l)
+        q_pa = pa.array(q_ids_l)                # one typed copy per task
         qn = np.linalg.norm(Qm, axis=1)
         qsq = (Qm * Qm).sum(1)                  # fixed per task, not per batch
         if metric == "cosine":
             Qn = Qm / np.where(qn > TOL, qn, 1.0)[:, None]
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            C = np.stack(pdf["__cvec"].to_numpy())
-            counts = np.fromiter((len(x) for x in pdf["__qids"]),
-                                 dtype=np.int64, count=len(pdf))
-            flat_q = np.fromiter(
-                (idx[qid] for lst in pdf["__qids"] for qid in lst),
-                dtype=np.int64, count=int(counts.sum()))
-            rows = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+            C = AM.matrix_from_column(AM.batch_column(batch, "__cvec"))
+            qids_col = AM.batch_column(batch, "__qids")
+            counts = np.diff(np.asarray(qids_col.offsets).astype(np.int64))
+            flat_q = lookup(np.asarray(qids_col.flatten()))
+            rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            nrows = batch.num_rows
             npairs, nq, dims = len(rows), Qm.shape[0], Qm.shape[1]
             budget = 1 << 23                        # ≤64 MB of float64 cells
             if metric == "l2":
                 csq = (C * C).sum(1)
                 d = np.empty(npairs)
-                if npairs * dims <= len(pdf) * nq:
+                if npairs * dims <= nrows * nq:
                     # sparse pairs: gathered per-pair dots, chunked
                     step = max(1, budget // max(dims, 1))
                     for s in range(0, npairs, step):
@@ -1101,8 +1143,8 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
                     # dense pairs: gram in row blocks (rows are sorted, so
                     # each block's pair span is a contiguous slice)
                     step = max(1, budget // max(nq, 1))
-                    for s in range(0, len(pdf), step):
-                        e = min(s + step, len(pdf))
+                    for s in range(0, nrows, step):
+                        e = min(s + step, nrows)
                         lo, hi = np.searchsorted(rows, [s, e])
                         d2 = ((C[s:e] * C[s:e]).sum(1)[:, None] + qsq[None, :]
                               - 2.0 * (C[s:e] @ Qm.T))
@@ -1112,7 +1154,7 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
                 cn = np.linalg.norm(C, axis=1)
                 Cn = C / np.where(cn > TOL, cn, 1.0)[:, None]
                 d = np.empty(npairs)
-                if npairs * dims <= len(pdf) * nq:
+                if npairs * dims <= nrows * nq:
                     step = max(1, budget // max(dims, 1))
                     for s in range(0, npairs, step):
                         rr, qq = rows[s:s + step], flat_q[s:s + step]
@@ -1120,18 +1162,18 @@ def _matmul_verify_grouped(q: DataFrame, joined: DataFrame, metric: str,
                             "pd,pd->p", Cn[rr], Qn[qq])
                 else:
                     step = max(1, budget // max(nq, 1))
-                    for s in range(0, len(pdf), step):
-                        e = min(s + step, len(pdf))
+                    for s in range(0, nrows, step):
+                        e = min(s + step, nrows)
                         lo, hi = np.searchsorted(rows, [s, e])
                         dmat = 1.0 - Cn[s:e] @ Qn.T
                         d[lo:hi] = dmat[rows[lo:hi] - s, flat_q[lo:hi]]
                 zero = (cn[rows] <= TOL) | (qn[flat_q] <= TOL)
                 d[zero] = 1.0                       # zero-vector guard (helpers.go:224-231)
                 d[d < TOL] = 0.0                    # clamp (helpers.go:232-233)
-            yield pd.DataFrame({
-                "query_id": q_ids_arr[flat_q],
-                "neighbor_id": pdf["neighbor_id"].to_numpy()[rows],
-                "dist": d,
-            })
+            yield pa.RecordBatch.from_arrays(
+                [AM.take(q_pa, flat_q),
+                 AM.take(AM.batch_column(batch, "neighbor_id"), rows),
+                 pa.array(d)],
+                names=["query_id", "neighbor_id", "dist"])
 
-    return joined.select("neighbor_id", "__cvec", "__qids").mapInPandas(op, schema)
+    return joined.select("neighbor_id", "__cvec", "__qids").mapInArrow(op, schema)

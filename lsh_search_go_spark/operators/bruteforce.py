@@ -64,9 +64,10 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
     (/root/reference/annbench/annbench.go:56-125 done with BLAS, like the
     reference's gonum usage)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from lsh_search_go_spark.config import TOL
+    from lsh_search_go_spark.functions import arrowmat as AM
     from lsh_search_go_spark.operators.topk import topk_per_query
 
     spark = corpus.sparkSession
@@ -81,14 +82,32 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
     schema = f"query_id {dict(queries.dtypes)[query_id_col]}, " \
              f"neighbor_id {dict(corpus.dtypes)[id_col]}, dist double"
 
+    # Degenerate-layout guard (guide §2.5), gated on the scan's own
+    # economics: the gram costs ~2·nq·d flops per corpus row while a
+    # rebalance shuffles 8·d bytes per row once, so shuffling only pays for
+    # large query batches (measured: the 1000-query 60k×784 scan drops
+    # 15 s → ~5 s, while the 100-query 1M×64 scan would lose more to the
+    # 600 MB shuffle than the kernel saves — it stays put).
+    in_corpus = corpus.select(id_col, vec_col)
+    if len(q_ids) >= 256:
+        from lsh_search_go_spark.functions.layout import maybe_rebalance
+
+        in_corpus = maybe_rebalance(in_corpus, key_col=id_col)
+
+    # Arrow-native pass (r6, guide §4.2): vector batches convert by one
+    # flat-buffer reshape (no per-row ndarray boxing — at 60k×784 the decode
+    # loop cost more than the BLAS scan) and the per-partition top-k emits
+    # through one vectorized gather instead of a per-query Python loop.
+    # Same distances, same per-batch kk rows per query, same row order.
     def op(batches):
         q_ids_l, Q_l = bc.value
         Qm = np.asarray(Q_l)
         nq = len(q_ids_l)
-        for pdf in batches:
-            if not len(pdf):
+        q_pa = pa.array(q_ids_l)
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            C = AM.matrix_from_column(AM.batch_column(batch, vec_col))
             if metric == "l2":
                 # ||c-q||² = ||c||² + ||q||² - 2 c·q
                 d = np.sqrt(np.maximum(
@@ -105,16 +124,15 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
                 d[d < TOL] = 0.0
             kk = min(k + 1, d.shape[0])  # +1 covers exclude_self
             top = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
-            rows = {"query_id": [], "neighbor_id": [], "dist": []}
-            ids = pdf[id_col].to_numpy()
-            for qi in range(nq):
-                sel = top[:, qi]
-                rows["query_id"].extend([q_ids_l[qi]] * len(sel))
-                rows["neighbor_id"].extend(ids[sel])
-                rows["dist"].extend(d[sel, qi])
-            yield pd.DataFrame(rows)
+            sel = top.T.reshape(-1)                        # query-major, same
+            qidx = np.repeat(np.arange(nq, dtype=np.int64), kk)  # order as the
+            yield pa.RecordBatch.from_arrays(                    # old loop
+                [AM.take(q_pa, qidx),
+                 AM.take(AM.batch_column(batch, id_col), sel),
+                 pa.array(d[sel, qidx])],
+                names=["query_id", "neighbor_id", "dist"])
 
-    scored = corpus.mapInPandas(op, schema=schema)
+    scored = in_corpus.mapInArrow(op, schema=schema)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     return topk_per_query(scored, k).select("query_id", "rank", "neighbor_id", "dist")

@@ -65,13 +65,18 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return (row["n"] or 0, row["h"] or 0)
 
 
-def _driver_cc(edges: DataFrame) -> DataFrame:
+def _driver_cc(edges: DataFrame, rows: list | None = None) -> DataFrame:
     """Union-find on the driver for small edge sets.  Scale-adaptive: dup-pair
     edge lists are usually tiny relative to the corpus (most docs are
     singletons), and a driver pass avoids ~2 Spark jobs per star round — the
     same kind of runtime size-based decision AQE makes for joins.  The
-    distributed star path remains the >threshold route and is force-tested."""
-    rows = edges.select("src_id", "dst_id").collect()
+    distributed star path remains the >threshold route and is force-tested.
+
+    ``rows``: pre-collected edge rows from the caller's size probe (r6: the
+    probe-count and collect jobs are fused into one, halving the Spark jobs
+    this path schedules)."""
+    if rows is None:
+        rows = edges.select("src_id", "dst_id").collect()
     parent: dict = {}
 
     def find(x):
@@ -125,9 +130,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     path."""
     if driver_threshold is None:
         driver_threshold = _driver_row_budget(edges, driver_budget_bytes)
-    # one probe job answers both "is it empty?" and "does it fit the driver
-    # budget?" (limit pushes down, so this never scans past threshold+1 rows)
-    probe = edges.limit(driver_threshold + 1).count()
+    # ONE probe job answers "is it empty?", "does it fit the driver budget?"
+    # AND hands the driver path its rows (limit pushes down, so this never
+    # scans past threshold+1 rows; r6 fused the former count-then-collect
+    # pair of jobs into this single collect)
+    probe_rows = (edges.select("src_id", "dst_id")
+                  .limit(driver_threshold + 1).collect())
+    probe = len(probe_rows)
     if probe == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id string, cluster_id string").select(
@@ -135,7 +144,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             F.col("cluster_id").cast(dict(edges.dtypes)["src_id"]),
         )
     if driver_threshold and probe <= driver_threshold:
-        return _driver_cc(edges)
+        return _driver_cc(edges, rows=probe_rows)
     e = edges.select("src_id", "dst_id").distinct().localCheckpoint()
     prev = None
     for _ in range(max_iter):

@@ -75,10 +75,20 @@ def fit_centroids(sample: np.ndarray, n_centroids: int, metric: str = "cosine",
     C = X[rng.choice(X.shape[0], size=k, replace=False)].copy()
     for _ in range(n_iters):
         a = _assign_np(X, C, metric)
+        # Centroid update via one stable argsort + per-cluster slices.  The
+        # r1-r5 form (`X[a == j].mean(0)` per centroid) re-scanned the whole
+        # sample k times per iteration — O(k·n·d) memory traffic, ~10 GB/iter
+        # at k=1000 — where grouping touches each row once.  BIT-IDENTICAL
+        # by construction: a stable sort groups equal assignments in original
+        # row order, so `X[order[lo:hi]]` is the exact array `X[a == j]`
+        # produced, and the identical np.mean runs over it (pinned by
+        # tests/test_ivf.py::test_fit_centroids_matches_mask_loop).
+        order = np.argsort(a, kind="stable")
+        bounds = np.searchsorted(a[order], np.arange(k + 1))
         for j in range(k):
-            members = X[a == j]
-            if members.shape[0]:
-                C[j] = members.mean(axis=0)
+            lo, hi = bounds[j], bounds[j + 1]
+            if hi > lo:
+                C[j] = X[order[lo:hi]].mean(axis=0)
         if metric == "cosine":
             C = _normalize_rows(C)
     return C
@@ -108,24 +118,42 @@ def probe_centroids_np(Q: np.ndarray, C: np.ndarray, nprobe: int,
 def assign(df: DataFrame, centroids: np.ndarray, metric: str = "cosine",
            id_col: str = "id", vec_col: str = "vec") -> DataFrame:
     """(id, vec) → inverted lists (id, centroid_id): one broadcast of the
-    centroid matrix + one matmul per Arrow batch."""
+    centroid matrix + one matmul per Arrow batch.
+
+    Arrow-native (r6): the vector column converts by one flat-buffer reshape
+    and the id column passes through untouched — the former mapInPandas pass
+    built one ndarray object per row before the matmul, which at 10^6 rows
+    cost ~5× the assignment math itself (guide §4.2).  Identical float64
+    matrix → identical ``_assign_np`` output."""
+    import pyarrow as pa
+
+    from lsh_search_go_spark.functions import arrowmat as AM
+
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
     in_df = df.select(id_col, vec_col)
+    # Degenerate-layout guard (guide §2.5): the nearest-centroid matmul costs
+    # ~14 μs/row serial at nlist=1000 — a single-row-group corpus parquet
+    # otherwise runs the whole pass on one core (measured 14-17 s at 1M rows
+    # vs ~2.5 s rebalanced).
+    from lsh_search_go_spark.functions.layout import maybe_rebalance
+
+    in_df = maybe_rebalance(in_df, key_col=id_col)
     schema = T.StructType([in_df.schema[id_col],
                            T.StructField("centroid_id", T.IntegerType(), False)])
 
     def gen(batches):
         C = np.asarray(bc.value)
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                "centroid_id": _assign_np(X, C, metric)
-                                .astype(np.int32)})
+            X = AM.matrix_from_column(AM.batch_column(batch, vec_col))
+            yield pa.RecordBatch.from_arrays(
+                [AM.batch_column(batch, id_col),
+                 pa.array(_assign_np(X, C, metric).astype(np.int32))],
+                names=[id_col, "centroid_id"])
 
-    return in_df.mapInPandas(gen, schema)
+    return in_df.mapInArrow(gen, schema)
 
 
 def centroid_fingerprint(centroids: np.ndarray) -> str:

@@ -157,7 +157,9 @@ class DedupPipeline:
                 from lsh_search_go_spark.functions.signatures import (
                     with_signatures_fused,
                 )
-                df = with_signatures_fused(ingest, cfg)
+                # rebalance=False: _prepare_source just salted-repartitioned
+                # the rows, so the layout probe would be a wasted job
+                df = with_signatures_fused(ingest, cfg, rebalance=False)
                 extra = ["norm_text", "first_sh", "last_sh"]
             else:
                 df = with_shingles(ingest, cfg, self.impl)

@@ -92,10 +92,11 @@ def test_ann_search_huge_batch_path_matches(spark, vecs):
     got = {(r.query_id, r.rank, r.neighbor_id) for r in huge.collect()}
     assert got == base
     # and the plan really has no driver-built probe relation: the probe side
-    # must come from the distributed hash UDF (ArrowEvalPython/MapInPandas),
-    # not a LocalTableScan of collected rows
+    # must come from the distributed hash UDF (MapInArrow as of r6; the older
+    # spellings kept for portability), not a LocalTableScan of collected rows
     plan = huge._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert ("MapInArrow" in plan or "MapInPandas" in plan
+            or "ArrowEvalPython" in plan)
 
 
 def test_cap_keeps_true_neighbors_when_binding(spark):
