@@ -72,6 +72,23 @@ def _probe(df: DataFrame, target: int) -> tuple[int, float, int]:
     return res
 
 
+def is_degenerate(df: DataFrame, target: int | None = None,
+                  max_share: float = 0.5, min_rows: int = 50_000) -> bool:
+    """True iff the relation is big enough to matter AND its largest
+    partition holds more than ``max_share`` of the rows.  Same probe/memo as
+    :func:`maybe_rebalance`; callers that can parallelize INSIDE the busy
+    worker (GIL-releasing BLAS batches) use this to skip the payload shuffle
+    a repartition would cost."""
+    if df.isStreaming:
+        return False
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if target <= 1:
+        return False
+    _, share, total = _probe(df, target)
+    return share > max_share and not (0 <= total < min_rows)
+
+
 def maybe_rebalance(df: DataFrame, key_col: str | None = None,
                     target: int | None = None,
                     max_share: float = 0.5,

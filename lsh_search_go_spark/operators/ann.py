@@ -911,6 +911,10 @@ def verify_topk(q: DataFrame, cands: DataFrame, corpus: DataFrame,
         # from one vectorized gather per Arrow batch — halves the Arrow
         # traffic of the pairwise UDF (no per-pair __qvec copies) and removes
         # per-pair Python.  Same edge semantics as dist_udf (tol guards).
+        # (A degenerate corpus layout runs this verify single-task, but the
+        # kernel is ~0.2 s serial at 400k candidate pairs — an interleaved
+        # A/B showed no measurable win from batch-threading it, so the
+        # search path stays probe-free.)
         scored = _matmul_verify(q, c.join(maybe_bc(cands), "neighbor_id"), metric,
                                 collected=collected)
     else:
@@ -1034,7 +1038,8 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
 
 
 def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
-                   collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
+                   collected: tuple[list, np.ndarray] | None = None,
+                   threaded: bool = False) -> DataFrame:
     """(query_id, __qvec) queries × (neighbor_id, __cvec, query_id) candidate
     rows → (query_id, neighbor_id, dist): distances via one numpy gather per
     Arrow batch against the broadcast query matrix (NNMock-with-BLAS shape,
@@ -1059,9 +1064,8 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
         if metric == "cosine":
             qn = np.linalg.norm(Qm, axis=1, keepdims=True)
             Qn = Qm / np.where(qn > TOL, qn, 1.0)
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
+
+        def compute(batch):
             qid_col = AM.batch_column(batch, "query_id")
             C = AM.matrix_from_column(AM.batch_column(batch, "__cvec"))
             qi = lookup(np.asarray(qid_col))
@@ -1075,9 +1079,18 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
                 d[zero] = 1.0                       # zero-vector guard (helpers.go:224-231)
                 d[d < TOL] = 0.0                    # clamp (helpers.go:232-233)
             # id columns pass through untouched (no pandas re-boxing)
-            yield pa.RecordBatch.from_arrays(
+            return pa.RecordBatch.from_arrays(
                 [qid_col, AM.batch_column(batch, "neighbor_id"), pa.array(d)],
                 names=["query_id", "neighbor_id", "dist"])
+
+        if threaded:
+            # degenerate corpus layout: norm/einsum kernels release the GIL,
+            # so batch-level threads recover parallelism without a shuffle
+            yield from AM.threaded_batches(batches, compute)
+            return
+        for batch in batches:
+            if batch.num_rows:
+                yield compute(batch)
 
     return joined.select("query_id", "neighbor_id", "__cvec").mapInArrow(op, schema)
 

@@ -89,10 +89,23 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
     # 15 s → ~5 s, while the 100-query 1M×64 scan would lose more to the
     # 600 MB shuffle than the kernel saves — it stays put).
     in_corpus = corpus.select(id_col, vec_col)
-    if len(q_ids) >= 256:
-        from lsh_search_go_spark.functions.layout import maybe_rebalance
+    from lsh_search_go_spark.functions.layout import is_degenerate, maybe_rebalance
 
+    # Degenerate layout (guide §2.5) — two mitigations, picked by the scan's
+    # economics (both measured interleaved):
+    # * large query batches (heavy compute per row): hash-REBALANCE — the
+    #   payload shuffle also parallelizes the JVM-side Arrow conversion,
+    #   which worker threads cannot reach (60k×784×1000q: ~5 s rebalanced
+    #   vs ~9 s batch-threaded vs ~15 s serial);
+    # * small query batches: the shuffle costs more than the kernel saves,
+    #   but the gram/argpartition kernels release the GIL, so batch-level
+    #   THREADS in the one busy worker still recover most of the compute
+    #   (1M×64×100q: ~2.4 s threaded vs ~5 s serial vs ~6+ s rebalanced).
+    threaded = False
+    if len(q_ids) >= 256:
         in_corpus = maybe_rebalance(in_corpus, key_col=id_col)
+    else:
+        threaded = is_degenerate(in_corpus)
 
     # Arrow-native pass (r6, guide §4.2): vector batches convert by one
     # flat-buffer reshape (no per-row ndarray boxing — at 60k×784 the decode
@@ -104,9 +117,8 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
         Qm = np.asarray(Q_l)
         nq = len(q_ids_l)
         q_pa = pa.array(q_ids_l)
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
+
+        def compute(batch):
             C = AM.matrix_from_column(AM.batch_column(batch, vec_col))
             if metric == "l2":
                 # ||c-q||² = ||c||² + ||q||² - 2 c·q
@@ -126,11 +138,18 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
             top = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
             sel = top.T.reshape(-1)                        # query-major, same
             qidx = np.repeat(np.arange(nq, dtype=np.int64), kk)  # order as the
-            yield pa.RecordBatch.from_arrays(                    # old loop
+            return pa.RecordBatch.from_arrays(                   # old loop
                 [AM.take(q_pa, qidx),
                  AM.take(AM.batch_column(batch, id_col), sel),
                  pa.array(d[sel, qidx])],
                 names=["query_id", "neighbor_id", "dist"])
+
+        if threaded:
+            yield from AM.threaded_batches(batches, compute)
+            return
+        for batch in batches:
+            if batch.num_rows:
+                yield compute(batch)
 
     scored = in_corpus.mapInArrow(op, schema=schema)
     if exclude_self:

@@ -132,26 +132,38 @@ def assign(df: DataFrame, centroids: np.ndarray, metric: str = "cosine",
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
     in_df = df.select(id_col, vec_col)
-    # Degenerate-layout guard (guide §2.5): the nearest-centroid matmul costs
-    # ~14 μs/row serial at nlist=1000 — a single-row-group corpus parquet
-    # otherwise runs the whole pass on one core (measured 14-17 s at 1M rows
-    # vs ~2.5 s rebalanced).
-    from lsh_search_go_spark.functions.layout import maybe_rebalance
+    # Degenerate-layout handling (guide §2.5): a single-row-group corpus
+    # parquet runs the whole pass on one core (measured 14-17 s at 1M rows).
+    # Unlike the traversal hash, this kernel is dgemm + ufuncs — numpy
+    # releases the GIL for both — so the mitigation is a bounded THREAD POOL
+    # over Arrow batches inside the one busy worker rather than a
+    # repartition: same 32-way compute, zero payload shuffle (the rebalance
+    # route measured 10.7 s end-to-end, of which ~5.6 s was shuffling 600 MB
+    # of vectors through local disk).  Per-batch results are bit-identical
+    # (row-block splits don't change a per-row argmax) and are yielded in
+    # submission order.
+    from lsh_search_go_spark.functions.layout import is_degenerate
 
-    in_df = maybe_rebalance(in_df, key_col=id_col)
+    threaded = is_degenerate(in_df)
     schema = T.StructType([in_df.schema[id_col],
                            T.StructField("centroid_id", T.IntegerType(), False)])
 
     def gen(batches):
         C = np.asarray(bc.value)
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
+
+        def compute(batch):
             X = AM.matrix_from_column(AM.batch_column(batch, vec_col))
-            yield pa.RecordBatch.from_arrays(
+            return pa.RecordBatch.from_arrays(
                 [AM.batch_column(batch, id_col),
                  pa.array(_assign_np(X, C, metric).astype(np.int32))],
                 names=[id_col, "centroid_id"])
+
+        if not threaded:
+            for batch in batches:
+                if batch.num_rows:
+                    yield compute(batch)
+            return
+        yield from AM.threaded_batches(batches, compute)
 
     return in_df.mapInArrow(gen, schema)
 
