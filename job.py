@@ -39,8 +39,17 @@ def _local_input_bytes(path: str) -> int:
         if os.path.isfile(path):
             return os.path.getsize(path)
         if os.path.isdir(path):
-            return sum(e.stat().st_size for e in os.scandir(path)
-                       if e.is_file())
+            # recurse: a partitioned parquet dir nests its files under
+            # key=value subdirs — a top-level-only sum would report ~0 bytes
+            # and misclassify a multi-GB input as 'small'
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        continue
+            return total
     except OSError:
         pass
     return 1 << 62

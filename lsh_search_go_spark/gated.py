@@ -56,6 +56,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLED_CACHE: dict = {}
 
 
+def _evict_other_sf(cache: dict, key: tuple) -> None:
+    """Unpersist + drop this session's entries for OTHER sf_dirs when a new
+    one arrives (r5 VERDICT: the caches persisted forever, so a long-lived
+    session sweeping many sf_dirs accumulated pinned executor storage).  The
+    driver's one-sf gate run never evicts; a multi-sf sweep keeps exactly
+    one sf_dir's relations pinned."""
+    app, sf_dir, _impl = key
+    for k in [k for k in cache
+              if k[0] == app and k[1] != sf_dir]:
+        try:
+            cache[k].unpersist()
+        except Exception:                                   # noqa: BLE001
+            pass
+        del cache[k]
+
+
 def _shingled(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
     """Shingled docs, persisted AND memoized per (session, sf_dir, impl):
     Catalyst's projection collapse would otherwise inline the shingle
@@ -64,6 +80,7 @@ def _shingled(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
     relation — one persisted copy serves them all (r1 VERDICT #9)."""
     key = (spark.sparkContext.applicationId, sf_dir, impl)
     if key not in _SHINGLED_CACHE:
+        _evict_other_sf(_SHINGLED_CACHE, key)
         _SHINGLED_CACHE[key] = SHG.with_shingles(
             _docs(spark, sf_dir), CFG, impl).persist()
     return _SHINGLED_CACHE[key]
@@ -171,6 +188,7 @@ _SIGS_CACHE: dict = {}
 def _minhash_sigs(spark, sf_dir, impl):
     key = (spark.sparkContext.applicationId, sf_dir, impl)
     if key not in _SIGS_CACHE:
+        _evict_other_sf(_SIGS_CACHE, key)
         a, b = CFG.minhash_params
         _SIGS_CACHE[key] = (
             _shingled(spark, sf_dir, impl)

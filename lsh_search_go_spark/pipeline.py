@@ -183,11 +183,23 @@ class DedupPipeline:
             # guard — a silent xxhash64 collision would merge two distinct
             # documents' pairs/clusters through the idmap join.  One exact
             # countDistinct pass per run; disable via config at the scale
-            # where the 128-bit surrogate replaces this.
+            # where the 128-bit surrogate replaces this.  The same
+            # aggregation (no extra pass) also checks source-id uniqueness:
+            # downstream stages assume one row per id (clusters runs with
+            # docs_unique=True), and a repeated (repo,path,commit) row would
+            # otherwise silently duplicate (doc_id, cluster_id) outputs.
             r = signatures.agg(
+                F.count(F.lit(1)).alias("n_rows"),
                 F.countDistinct(cfg.id_col).alias("n_ids"),
                 F.countDistinct("doc_key").alias("n_keys"),
             ).collect()[0]
+            if r["n_rows"] != r["n_ids"]:
+                raise RuntimeError(
+                    f"duplicate source ids: {r['n_rows']} rows carry only "
+                    f"{r['n_ids']} distinct {cfg.id_col!r} values — the "
+                    "pipeline contract is one row per document id; dedup the "
+                    "source (or fix the id derivation) before running"
+                )
             if r["n_ids"] != r["n_keys"]:
                 raise RuntimeError(
                     f"doc_key surrogate collision: {r['n_ids']} distinct ids → "

@@ -252,3 +252,40 @@ def test_backends_agree_end_to_end(spark, source, tmp_path_factory):
     # both must equal the oracle pair set exactly (verification is exact).
     gt = {(r.src_id, r.dst_id) for r in oracle_pairs(spark, source, CFG).collect()}
     assert sql_pairs == gt
+
+
+def test_duplicate_source_ids_rejected(spark, tmp_path):
+    """The surrogate-key guard also enforces one row per document id (r5
+    ADVICE): a repeated id would silently duplicate cluster rows now that
+    the clusters stage trusts docs_unique=True."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from lsh_search_go_spark.config import DedupConfig
+    from lsh_search_go_spark.pipeline import DedupPipeline
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 2, 3],
+        "content": ["aa bb cc dd", "ee ff gg hh", "ee ff gg hh", "ii jj kk ll"],
+    })
+    src = spark.createDataFrame(pdf)
+    pipe = DedupPipeline(spark, DedupConfig(), str(tmp_path), impl="pandas",
+                         target_partitions=4)
+    with _pytest.raises(RuntimeError, match="duplicate source ids"):
+        pipe.run(src, with_substring=False)
+
+
+def test_gate_cache_evicts_other_sf_dirs(spark):
+    """Gate caches unpersist superseded sf_dir entries (r5 VERDICT item 4):
+    a multi-sf sweep must not accumulate pinned executor storage."""
+    from lsh_search_go_spark import gated
+
+    a = gated._shingled(spark, "/root/testdata/sf0.001")
+    a.count()
+    app = spark.sparkContext.applicationId
+    assert (app, "/root/testdata/sf0.001", "sql") in gated._SHINGLED_CACHE
+    b = gated._shingled(spark, "/root/testdata/sf0.01")
+    b.count()
+    assert (app, "/root/testdata/sf0.001", "sql") not in gated._SHINGLED_CACHE
+    assert not a.storageLevel.useMemory        # unpersisted
+    assert b.storageLevel.useMemory
