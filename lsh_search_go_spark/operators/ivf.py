@@ -165,7 +165,17 @@ def assign(df: DataFrame, centroids: np.ndarray, metric: str = "cosine",
             return
         yield from AM.threaded_batches(batches, compute)
 
-    return in_df.mapInArrow(gen, schema)
+    out = in_df.mapInArrow(gen, schema)
+    if threaded:
+        # the threaded pass inherits the degenerate 1-partition layout; the
+        # OUTPUT is narrow (id + int32, ~12 B/row), so spreading it costs a
+        # trivial shuffle and hands downstream consumers (the persisted
+        # inverted-list cache, the probe join) a parallel layout — without
+        # this, every later search streamed the whole list relation through
+        # one task (measured 16.8 s vs ~3 s for the 100-query search)
+        out = out.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    return out
 
 
 def centroid_fingerprint(centroids: np.ndarray) -> str:
