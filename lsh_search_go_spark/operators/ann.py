@@ -1038,8 +1038,7 @@ def candidate_pairs(q: DataFrame, buckets: DataFrame, model: HasherModel,
 
 
 def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
-                   collected: tuple[list, np.ndarray] | None = None,
-                   threaded: bool = False) -> DataFrame:
+                   collected: tuple[list, np.ndarray] | None = None) -> DataFrame:
     """(query_id, __qvec) queries × (neighbor_id, __cvec, query_id) candidate
     rows → (query_id, neighbor_id, dist): distances via one numpy gather per
     Arrow batch against the broadcast query matrix (NNMock-with-BLAS shape,
@@ -1083,11 +1082,6 @@ def _matmul_verify(q: DataFrame, joined: DataFrame, metric: str,
                 [qid_col, AM.batch_column(batch, "neighbor_id"), pa.array(d)],
                 names=["query_id", "neighbor_id", "dist"])
 
-        if threaded:
-            # degenerate corpus layout: norm/einsum kernels release the GIL,
-            # so batch-level threads recover parallelism without a shuffle
-            yield from AM.threaded_batches(batches, compute)
-            return
         for batch in batches:
             if batch.num_rows:
                 yield compute(batch)
